@@ -1,0 +1,46 @@
+"""Test configuration.
+
+Tests run JAX on CPU with 8 virtual devices so the multi-chip sharding path
+is exercised without TPU hardware (the driver separately dry-runs it).  Must
+be set before the first jax import anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+import threshold_crypto_tpu as tc  # noqa: E402
+
+
+@pytest.fixture(params=["mock", "bls12_381"])
+def backend(request):
+    """Run a test under both backends (mirrors the reference's cfg matrix)."""
+    with tc.using(request.param) as b:
+        yield b
+
+
+@pytest.fixture
+def mock_backend():
+    with tc.using("mock") as b:
+        yield b
+
+
+@pytest.fixture
+def bls_backend():
+    with tc.using("bls12_381") as b:
+        yield b
+
+
+@pytest.fixture
+def rng():
+    """Deterministic RNG for reproducible tests."""
+    from threshold_crypto_tpu.utils.rng import ChaChaRng
+
+    return ChaChaRng(bytes(range(32)))

@@ -1,0 +1,49 @@
+"""Hashing / KDF stack: SHA3-256 → ChaCha20 → group-element sampling.
+
+Replicates `/root/reference/src/lib.rs:690-715` and
+`/root/reference/src/util.rs:3-9`:
+
+* ``hash_g2(msg)``  = G2::random(ChaChaRng::from_seed(sha3_256(msg)))
+  — NOT a standards-track hash-to-curve; parity requires the exact
+  rejection-sampling chain in ``host.sampling``.
+* ``hash_g1_g2(g1, msg)`` pre-hashes messages longer than 64 bytes, appends
+  the compressed g1, then ``hash_g2``.
+* ``xor_with_hash(g1, bytes)`` XORs with the ChaCha20-derived u8 stream
+  keyed by sha3_256(compressed g1) (one u32 word per byte; rand 0.7
+  ``Standard`` u8 semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .backend import get_backend
+from .utils.rng import ChaChaRng
+
+
+def sha3_256(data: bytes) -> bytes:
+    return hashlib.sha3_256(bytes(data)).digest()
+
+
+def hash_g2(msg: bytes):
+    """Hash of the message in G2 (`src/lib.rs:691-694`)."""
+    b = get_backend()
+    digest = sha3_256(bytes(msg))
+    return b.G2.random(ChaChaRng.from_seed(digest))
+
+
+def hash_g1_g2(g1, msg: bytes):
+    """Hash of (group element, message) in G2 (`src/lib.rs:697-707`)."""
+    m = bytes(msg)
+    if len(m) > 64:
+        m = sha3_256(m)
+    return hash_g2(m + g1.to_compressed())
+
+
+def xor_with_hash(g1, data: bytes) -> bytes:
+    """XOR `data` with the pseudorandom stream keyed by g1
+    (`src/lib.rs:710-715`)."""
+    digest = sha3_256(g1.to_compressed())
+    rng = ChaChaRng.from_seed(digest)
+    ks = rng.keystream_bytes(len(data))
+    return bytes(a ^ b for a, b in zip(ks, data))
