@@ -1,0 +1,109 @@
+"""RNG bit-exactness (ChaCha20, XorShift) and mock-engine semantics —
+mirroring `/root/reference/src/mock/` tests and the rand_chacha 0.2 stream
+contract the reference depends on for hash_g2 parity."""
+
+import struct
+
+import threshold_crypto_tpu as tc
+from threshold_crypto_tpu.mock import engine as mock
+from threshold_crypto_tpu.utils.rng import ChaChaRng, OsRng, XorShiftRng, chacha20_block
+
+
+def test_chacha20_zero_key_block():
+    # Bernstein's original ChaCha20 (64-bit counter at words 12-13, 64-bit
+    # nonce at 14-15 — the layout rand_chacha 0.2 uses): all-zero key and
+    # counter 0 produces the well-known keystream block.
+    words = chacha20_block((0,) * 8, 0)
+    stream = b"".join(struct.pack("<I", w) for w in words)
+    assert stream[:32] == bytes.fromhex(
+        "76b8e0ada0f13d90405d6ae55386bd28bdd219b8a08ded1aa836efcc8b770dc7"
+    )
+
+
+def test_chacha20_counter_advances():
+    rng = ChaChaRng(bytes(32))
+    first = [rng.next_u32() for _ in range(16)]
+    second = [rng.next_u32() for _ in range(16)]
+    assert first != second
+    assert first == list(chacha20_block((0,) * 8, 0))
+    assert second == list(chacha20_block((0,) * 8, 1))
+
+
+def test_chacha_next_u64_word_order():
+    # next_u64 = two next_u32 calls, low word first (rand_core semantics).
+    a = ChaChaRng(bytes(32))
+    b = ChaChaRng(bytes(32))
+    lo, hi = b.next_u32(), b.next_u32()
+    assert a.next_u64() == (hi << 32) | lo
+
+
+def test_chacha_u8_stream_one_word_per_byte():
+    # rand 0.7 Standard u8 sampling consumes a full u32 per byte.
+    a = ChaChaRng(bytes(32))
+    ks = a.keystream_bytes(4)
+    b = ChaChaRng(bytes(32))
+    assert ks == bytes(b.next_u32() & 0xFF for _ in range(4))
+
+
+def test_xorshift_deterministic():
+    seed = bytes(range(1, 17))
+    a = XorShiftRng(seed)
+    b = XorShiftRng(seed)
+    assert [a.next_u32() for _ in range(10)] == [b.next_u32() for _ in range(10)]
+
+
+def test_osrng_shape():
+    r = OsRng()
+    assert 0 <= r.next_u32() < 1 << 32
+    assert 0 <= r.next_u64() < 1 << 64
+    assert len(r.fill_bytes(7)) == 7
+
+
+# ---------------------------------------------------------------------------
+# Mock engine (`/root/reference/src/mock/ms8.rs:423-814`, `mod.rs:287-325`)
+# ---------------------------------------------------------------------------
+
+def test_ms8_field_axioms():
+    M = mock.MS8
+    assert M == (1 << 31) - 1
+    for a, b in [(1, 2), (12345, 67890), (M - 1, M - 1), (0, 5)]:
+        assert mock.fr_add(a, b) == (a + b) % M
+        assert mock.fr_mul(a, b) == a * b % M
+        assert mock.fr_sub(a, b) == (a - b) % M
+    assert mock.fr_inv(0) is None
+    for a in [1, 2, 999999]:
+        assert mock.fr_mul(a, mock.fr_inv(a)) == 1
+    assert mock.fr_neg(5) == M - 5
+
+
+def test_mock_pairing_bilinear():
+    # pairing(p, q) = p*q, so e(ap, bq) == e(p, q)^(ab) in additive notation.
+    assert mock.pairing(3, 5) == 15
+    assert mock.pairing(2 * 3, 5) == 2 * mock.pairing(3, 5) % mock.MS8
+
+
+def test_mock_backend_protocol():
+    with tc.using("mock") as b:
+        assert b.PK_SIZE == 4 and b.SIG_SIZE == 4
+        rng = ChaChaRng(bytes(32))
+        sk = tc.SecretKey.random(rng)
+        pk = sk.public_key()
+        sig = sk.sign(b"mock message")
+        assert pk.verify(sig, b"mock message")
+        assert not pk.verify(sig, b"other message")
+
+
+def test_mock_point_codec():
+    assert mock.point_from_compressed(mock.point_to_compressed(12345)) == 12345
+    assert len(mock.point_to_compressed(0)) == 4
+
+
+def test_parity_matches_reference_rule():
+    # parity() = odd popcount of xored uncompressed bytes (`src/lib.rs:237-243`).
+    with tc.using("mock"):
+        sig = tc.Signature.random(ChaChaRng(bytes(32)))
+        raw = sig.el.to_uncompressed()
+        acc = 0
+        for byte in raw:
+            acc ^= byte
+        assert sig.parity() == (bin(acc).count("1") % 2 == 1)

@@ -29,6 +29,10 @@ def coeff_pos(i: int, j: int):
     None if it overflows usize (`src/poly.rs:749-753`)."""
     if j < i:
         i, j = j, i
+    # Overflow semantics of the reference's checked usize arithmetic: the
+    # intermediate products j+1, j*(j+1) and the final sum must each fit u64.
+    if j + 1 > _USIZE_MAX or j * (j + 1) > _USIZE_MAX:
+        return None
     pos = i + j * (j + 1) // 2
     if pos > _USIZE_MAX:
         return None
