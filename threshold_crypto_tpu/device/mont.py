@@ -1,0 +1,320 @@
+"""Batched multi-limb Montgomery arithmetic for TPU (the L0 inner loop).
+
+The reference delegates all 381/255-bit field arithmetic to the `pairing`
+crate's u64 limb code (`/root/reference/Cargo.toml:27`).  On TPU there is no
+64-bit integer datapath, so field elements are represented as **16-bit limbs
+stored in uint32 lanes**, shape ``[..., L]`` with a free leading batch shape:
+
+* Fq (381 bits): L = 24 limbs;  Fr (255 bits): L = 16 limbs.
+* A 16x16-bit limb product fits a uint32 exactly; carries are propagated in
+  short unrolled chains, and intermediate "column" accumulators stay well
+  under 2^32 (bounded by ~L*2^18).
+* All values are kept in **Montgomery form** (R = 2^(16 L)); `mul` is a CIOS
+  (coarsely integrated operand scanning) Montgomery multiplication whose
+  inner loop is unrolled at trace time — L iterations of pure element-wise
+  uint32 VPU ops, fully fusable by XLA and trivially shardable with pjit
+  because every op is batch-pointwise.
+
+Design notes (why not alternatives):
+* No data-dependent control flow anywhere — everything is select-based, so
+  the same program serves jit, vmap, scan bodies and shard_map regions.
+* Exponentiation (`pow_fixed`, inversion via Fermat) runs as a `lax.scan`
+  over a constant bit vector: 2 muls per step, graph size O(L) not O(bits·L).
+* Host<->device conversion helpers (`limbs_from_int`/`int_from_limbs`,
+  `to_mont`/`from_mont_int`) live here so every higher layer can round-trip
+  against the host oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..host.params import P as _P
+from ..host.params import R as _R
+
+MASK16 = np.uint32(0xFFFF)
+
+
+class FpSpec:
+    """Static description of one prime field's limb layout (hashable)."""
+
+    __slots__ = ("p", "L", "n0inv", "r_mont", "r2", "p_limbs", "one_mont", "name")
+
+    def __init__(self, p: int, L: int, name: str):
+        assert p.bit_length() <= 16 * L
+        self.p = p
+        self.L = L
+        self.name = name
+        self.r_mont = (1 << (16 * L)) % p
+        self.r2 = (self.r_mont * self.r_mont) % p
+        self.n0inv = (-pow(p, -1, 1 << 16)) % (1 << 16)
+        self.p_limbs = tuple((p >> (16 * i)) & 0xFFFF for i in range(L))
+        self.one_mont = self.r_mont
+
+    def __repr__(self):
+        return f"FpSpec({self.name}, L={self.L})"
+
+
+FQ = FpSpec(_P, 24, "Fq")
+FR = FpSpec(_R, 16, "Fr")
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (numpy; used at API boundaries and in tests)
+# ---------------------------------------------------------------------------
+
+def limbs_from_int(spec: FpSpec, x: int) -> np.ndarray:
+    x %= spec.p
+    return np.array(
+        [(x >> (16 * i)) & 0xFFFF for i in range(spec.L)], dtype=np.uint32
+    )
+
+
+def int_from_limbs(arr) -> int:
+    arr = np.asarray(arr, dtype=np.uint64)
+    return sum(int(v) << (16 * i) for i, v in enumerate(arr))
+
+
+def to_mont(spec: FpSpec, x: int) -> np.ndarray:
+    """Host int -> Montgomery-form limbs."""
+    return limbs_from_int(spec, (x % spec.p) * spec.r_mont % spec.p)
+
+
+def from_mont_int(spec: FpSpec, arr) -> int:
+    """Montgomery-form limbs -> host int."""
+    return int_from_limbs(arr) * pow(spec.r_mont, -1, spec.p) % spec.p
+
+
+def stack_mont(spec: FpSpec, xs) -> np.ndarray:
+    """[N] host ints -> uint32[N, L] Montgomery limbs."""
+    return np.stack([to_mont(spec, x) for x in xs])
+
+
+def unstack_mont(spec: FpSpec, arr) -> list:
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, spec.L)
+    rinv = pow(spec.r_mont, -1, spec.p)
+    return [int_from_limbs(row) * rinv % spec.p for row in flat]
+
+
+def _const_limbs(spec: FpSpec, x: int) -> jnp.ndarray:
+    """Raw (unreduced) limb constant — must NOT reduce mod p, because the
+    modulus itself is encoded through this path."""
+    assert 0 <= x < 1 << (16 * spec.L)
+    return jnp.asarray(
+        np.array([(x >> (16 * i)) & 0xFFFF for i in range(spec.L)], np.uint32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core limb kernels.  All arrays uint32[..., L]; leading dims free.
+# ---------------------------------------------------------------------------
+
+def zeros_like_el(a):
+    return jnp.zeros_like(a)
+
+
+def _carry_chain(cols):
+    """Resolve u32 column accumulators into canonical 16-bit limbs.
+
+    Returns (limbs[..., L], overflow[...]) where overflow is whatever carries
+    out of the top limb (may be > 1 for relaxed inputs).
+    """
+    L = cols.shape[-1]
+    outs = []
+    c = jnp.zeros_like(cols[..., 0])
+    for k in range(L):
+        s = cols[..., k] + c
+        outs.append(s & MASK16)
+        c = s >> 16
+    return jnp.stack(outs, axis=-1), c
+
+
+def _sub_limbs(a, b):
+    """a - b over 16-bit limbs. Returns (diff[..., L], borrow[...] in {0,1})."""
+    L = a.shape[-1]
+    outs = []
+    borrow = jnp.zeros_like(a[..., 0])
+    big = jnp.uint32(1 << 16)
+    for k in range(L):
+        d = a[..., k] + big - b[..., k] - borrow
+        outs.append(d & MASK16)
+        borrow = jnp.uint32(1) - (d >> 16)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _geq(a, b):
+    """a >= b on canonical limbs."""
+    _, borrow = _sub_limbs(a, b)
+    return borrow == 0
+
+
+def select(cond, a, b):
+    """Elementwise limb select; cond[...] broadcast over the limb axis."""
+    return jnp.where(cond[..., None], a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def add(spec: FpSpec, a, b):
+    """(a + b) mod p, canonical-limb inputs/outputs."""
+    p_arr = _const_limbs(spec, spec.p)
+    s, over = _carry_chain(a + b)
+    d, borrow = _sub_limbs(s, p_arr)
+    take_d = (over != 0) | (borrow == 0)
+    return select(take_d, d, s)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sub(spec: FpSpec, a, b):
+    """(a - b) mod p."""
+    p_arr = _const_limbs(spec, spec.p)
+    d, borrow = _sub_limbs(a, b)
+    d2, _ = _carry_chain(d + p_arr)
+    return select(borrow != 0, d2, d)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def neg(spec: FpSpec, a):
+    p_arr = jnp.broadcast_to(_const_limbs(spec, spec.p), a.shape)
+    d, _ = _sub_limbs(p_arr, a)
+    # -0 must stay 0
+    return select(is_zero(spec, a), jnp.zeros_like(a), d)
+
+
+def is_zero(spec: FpSpec, a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(spec: FpSpec, a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def _mont_mul_impl(spec: FpSpec, a, b):
+    """CIOS Montgomery multiplication: returns a*b*R^-1 mod p.
+
+    Inputs canonical 16-bit limbs (Montgomery form); output canonical.
+    The i-loop is unrolled at trace time; every op is elementwise uint32.
+    """
+    L = spec.L
+    n0inv = jnp.uint32(spec.n0inv)
+    p_arr = _const_limbs(spec, spec.p)  # [L]
+
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (L,))
+    b = jnp.broadcast_to(b, shape + (L,))
+
+    # t: L+1 relaxed u32 columns, manipulated as whole vectors so the traced
+    # graph stays ~12 ops per CIOS iteration.
+    t = jnp.zeros(shape + (L + 1,), jnp.uint32)
+    zcol = jnp.zeros(shape + (1,), jnp.uint32)
+
+    def _acc(t, prod):
+        lo = prod & MASK16
+        hi = prod >> 16
+        t = t + jnp.concatenate([lo, zcol], -1)
+        t = t + jnp.concatenate([zcol, hi], -1)
+        return t
+
+    for i in range(L):
+        t = _acc(t, a[..., i : i + 1] * b)
+        m = ((t[..., 0] & MASK16) * n0inv) & MASK16
+        t = _acc(t, m[..., None] * p_arr)
+        # low column is now ≡ 0 mod 2^16; shift down one limb
+        carry = (t[..., 0] >> 16)[..., None]
+        t = jnp.concatenate([t[..., 1:2] + carry, t[..., 2:], zcol], -1)
+
+    limbs, over = _carry_chain(t[..., :L])
+    over = over + t[..., L]  # residual column above the top limb (< 2^16)
+    d, borrow = _sub_limbs(limbs, p_arr)
+    take_d = (over != 0) | (borrow == 0)
+    return select(take_d, d, limbs)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mul(spec: FpSpec, a, b):
+    return _mont_mul_impl(spec, a, b)
+
+
+def sqr(spec: FpSpec, a):
+    return mul(spec, a, a)
+
+
+def mul_small(spec: FpSpec, a, k: int):
+    """a * k for tiny static k (via repeated addition tree)."""
+    assert 0 <= k
+    if k == 0:
+        return jnp.zeros_like(a)
+    result = None
+    acc = a
+    while k:
+        if k & 1:
+            result = acc if result is None else add(spec, result, acc)
+        k >>= 1
+        if k:
+            acc = add(spec, acc, acc)
+    return result
+
+
+def one(spec: FpSpec, shape=()):
+    """Montgomery-form 1 broadcast to the given batch shape."""
+    base = _const_limbs(spec, spec.one_mont)
+    return jnp.broadcast_to(base, tuple(shape) + (spec.L,))
+
+
+def zero(spec: FpSpec, shape=()):
+    return jnp.zeros(tuple(shape) + (spec.L,), jnp.uint32)
+
+
+def _bits_msb(e: int):
+    return [int(b) for b in bin(e)[2:]]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pow_fixed(spec: FpSpec, a, e: int):
+    """a^e for a fixed public exponent, via lax.scan square-and-multiply."""
+    if e == 0:
+        return one(spec, a.shape[:-1])
+    bits = jnp.asarray(_bits_msb(e), dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = _mont_mul_impl(spec, acc, acc)
+        with_mul = _mont_mul_impl(spec, acc, a)
+        acc = select(bit != 0, with_mul, acc)
+        return acc, None
+
+    init = one(spec, a.shape[:-1])
+    out, _ = jax.lax.scan(body, init, bits)
+    return out
+
+
+def inv(spec: FpSpec, a):
+    """a^(p-2): Fermat inverse (maps 0 -> 0).  Fixed-iteration, branch-free —
+    the device-side answer to `ff`'s variable-time ext-Euclid inverse."""
+    return pow_fixed(spec, a, spec.p - 2)
+
+
+def batch_inv(spec: FpSpec, a):
+    """Montgomery-trick batched inversion along the leading axis.
+
+    [N, ..., L] -> [N, ..., L]; one Fermat inversion total instead of N.
+    Zero entries map to zero (masked to 1 during the scan).
+    """
+    n = a.shape[0]
+    zmask = is_zero(spec, a)
+    a_safe = select(zmask, one(spec, a.shape[:-1]), a)
+    prefix = [a_safe[0]]
+    for i in range(1, n):
+        prefix.append(mul(spec, prefix[-1], a_safe[i]))
+    total_inv = inv(spec, prefix[-1])
+    outs = [None] * n
+    acc = total_inv
+    for i in range(n - 1, 0, -1):
+        outs[i] = mul(spec, acc, prefix[i - 1])
+        acc = mul(spec, acc, a_safe[i])
+    outs[0] = acc
+    out = jnp.stack(outs, axis=0)
+    return select(zmask, jnp.zeros_like(a), out)
