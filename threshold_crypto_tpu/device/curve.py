@@ -1,0 +1,384 @@
+"""Batched, branch-free G1/G2 elliptic-curve ops for TPU.
+
+Points are Jacobian-coordinate pytrees ``(X, Y, Z)`` (infinity ⇔ Z == 0) of
+batched field elements — Fq limb arrays for G1, Fq2 pairs for G2 — so whole
+point batches flow through jit/vmap/scan/pjit as ordinary pytrees.  All case
+handling (infinity, doubling, inverse points) is `select`-based: the same
+fixed instruction stream serves every lane, as the VPU requires; contrast
+the reference's data-dependent Rust control flow in `pairing 0.16`'s
+`CurveProjective` (consumed at `/root/reference/src/poly.rs:497-508`,
+`/root/reference/src/lib.rs:719-767`).
+
+Scalar multiplication is a fixed-trip double-and-add `lax.scan` over scalar
+bits (255 for Fr), giving constant-shape XLA programs regardless of scalar
+values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..host.params import B_G1, B_G2, G1_GEN, G2_GEN
+from . import mont
+from . import tower as tw
+from .mont import FQ, FR
+
+
+class FqOps:
+    """Fq as the generic field-ops vocabulary used by the point formulas."""
+
+    name = "fq"
+
+    @staticmethod
+    def add(a, b):
+        return mont.add(FQ, a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return mont.sub(FQ, a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return mont.mul(FQ, a, b)
+
+    @staticmethod
+    def sqr(a):
+        return mont.mul(FQ, a, a)
+
+    @staticmethod
+    def neg(a):
+        return mont.neg(FQ, a)
+
+    @staticmethod
+    def inv(a):
+        return mont.inv(FQ, a)
+
+    @staticmethod
+    def is_zero(a):
+        return mont.is_zero(FQ, a)
+
+    @staticmethod
+    def eq(a, b):
+        return mont.eq(FQ, a, b)
+
+    @staticmethod
+    def select(c, a, b):
+        return mont.select(c, a, b)
+
+    @staticmethod
+    def zero(shape=()):
+        return mont.zero(FQ, shape)
+
+    @staticmethod
+    def one(shape=()):
+        return mont.one(FQ, shape)
+
+    @staticmethod
+    def mul_small(a, k):
+        return mont.mul_small(FQ, a, k)
+
+    @staticmethod
+    def shape(a):
+        return a.shape[:-1]
+
+    @staticmethod
+    def from_host(v, shape=()):
+        arr = jnp.asarray(mont.to_mont(FQ, v))
+        return jnp.broadcast_to(arr, tuple(shape) + arr.shape)
+
+    @staticmethod
+    def to_host(a):
+        return mont.from_mont_int(FQ, a)
+
+
+class Fq2Ops:
+    name = "fq2"
+
+    add = staticmethod(tw.fq2_add)
+    sub = staticmethod(tw.fq2_sub)
+    mul = staticmethod(tw.fq2_mul)
+    sqr = staticmethod(tw.fq2_sqr)
+    neg = staticmethod(tw.fq2_neg)
+    inv = staticmethod(tw.fq2_inv)
+    is_zero = staticmethod(tw.fq2_is_zero)
+    eq = staticmethod(tw.fq2_eq)
+    select = staticmethod(tw.fq2_select)
+    zero = staticmethod(tw.fq2_zero)
+    one = staticmethod(tw.fq2_one)
+    mul_small = staticmethod(tw.fq2_mul_small)
+
+    @staticmethod
+    def shape(a):
+        return a[0].shape[:-1]
+
+    @staticmethod
+    def from_host(v, shape=()):
+        return tw.fq2_from_host(v, shape)
+
+    @staticmethod
+    def to_host(a):
+        return tw.fq2_to_host(a)
+
+
+class DeviceCurve:
+    """One batched curve group (E(Fq) for G1, E'(Fq2) for G2)."""
+
+    def __init__(self, f, b_const, gen_affine, name):
+        self.f = f
+        self.b_host = b_const
+        self.gen_affine_host = gen_affine
+        self.name = name
+
+    # -- constructors --------------------------------------------------------
+    def infinity(self, shape=()):
+        f = self.f
+        return (f.one(shape), f.one(shape), f.zero(shape))
+
+    def generator(self, shape=()):
+        f = self.f
+        x, y = self.gen_affine_host
+        return (f.from_host(x, shape), f.from_host(y, shape), f.one(shape))
+
+    def from_host_affine(self, pts):
+        """List of host affine points (or None) -> batched Jacobian pytree."""
+        import numpy as np
+
+        f = self.f
+        xs, ys, zs = [], [], []
+        for pt in pts:
+            if pt is None:
+                x, y = self.gen_affine_host  # placeholder; masked by z=0
+                z = 0
+            else:
+                x, y = pt
+                z = 1
+            xs.append(x)
+            ys.append(y)
+            zs.append(z)
+        n = len(pts)
+        X = _stack_field(f, xs)
+        Y = _stack_field(f, ys)
+        zmask = jnp.asarray(np.array(zs, np.bool_))
+        Z = f.select(zmask, f.one((n,)), f.zero((n,)))
+        return (X, Y, Z)
+
+    def to_host_affine(self, pt):
+        """Batched Jacobian pytree -> list of host affine points / None."""
+        import numpy as np
+
+        f = self.f
+        X, Y, Z = pt
+        zinv = f.inv(Z)
+        zinv2 = f.sqr(zinv)
+        x = f.mul(X, zinv2)
+        y = f.mul(Y, f.mul(zinv2, zinv))
+        inf = np.asarray(f.is_zero(Z)).reshape(-1)
+        xs = _unstack_field(f, x)
+        ys = _unstack_field(f, y)
+        return [
+            None if inf[i] else (xs[i], ys[i]) for i in range(len(xs))
+        ]
+
+    # -- group ops -----------------------------------------------------------
+    def double(self, p):
+        """Jacobian doubling (a=0 curve): 2M + 5S, no branches.
+
+        Handles infinity automatically: Z=0 in ⇒ Z'=0 out.  (Y=0 never
+        occurs for non-infinity points on these prime-order curves.)
+        """
+        f = self.f
+        X, Y, Z = p
+        A = f.sqr(X)
+        B = f.sqr(Y)
+        C = f.sqr(B)
+        D = f.sub(f.sqr(f.add(X, B)), f.add(A, C))
+        D = f.add(D, D)
+        E = f.mul_small(A, 3)
+        Xo = f.sub(f.sqr(E), f.add(D, D))
+        Yo = f.sub(f.mul(E, f.sub(D, Xo)), f.mul_small(C, 8))
+        Zo = f.mul(f.add(Y, Y), Z)
+        return (Xo, Yo, Zo)
+
+    def add(self, p1, p2):
+        """Complete branch-free Jacobian addition via select composition."""
+        f = self.f
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        z1z = f.sqr(Z1)
+        z2z = f.sqr(Z2)
+        u1 = f.mul(X1, z2z)
+        u2 = f.mul(X2, z1z)
+        s1 = f.mul(Y1, f.mul(z2z, Z2))
+        s2 = f.mul(Y2, f.mul(z1z, Z1))
+        h = f.sub(u2, u1)
+        r = f.sub(s2, s1)
+        # general case
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(u1, hh)
+        Xo = f.sub(f.sub(f.sqr(r), hhh), f.add(v, v))
+        Yo = f.sub(f.mul(r, f.sub(v, Xo)), f.mul(s1, hhh))
+        Zo = f.mul(f.mul(Z1, Z2), h)
+        out = (Xo, Yo, Zo)
+
+        inf1 = f.is_zero(Z1)
+        inf2 = f.is_zero(Z2)
+        same_x = f.is_zero(h)
+        same_y = f.is_zero(r)
+        dbl = self.double(p1)
+        infty = self.infinity(_bshape(f, Z1, Z2))
+
+        out = _select_pt(f, same_x & same_y, dbl, out)       # P + P
+        out = _select_pt(f, same_x & ~same_y, infty, out)    # P + (-P)
+        out = _select_pt(f, inf2, p1, out)                   # P + 0
+        out = _select_pt(f, inf1, p2, out)                   # 0 + Q
+        return out
+
+    def neg(self, p):
+        X, Y, Z = p
+        return (X, self.f.neg(Y), Z)
+
+    def eq(self, p1, p2):
+        """Projective equality: X1 Z2² == X2 Z1² and Y1 Z2³ == Y2 Z1³."""
+        f = self.f
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        z1z = f.sqr(Z1)
+        z2z = f.sqr(Z2)
+        ex = f.eq(f.mul(X1, z2z), f.mul(X2, z1z))
+        ey = f.eq(f.mul(Y1, f.mul(z2z, Z2)), f.mul(Y2, f.mul(z1z, Z1)))
+        inf1 = f.is_zero(Z1)
+        inf2 = f.is_zero(Z2)
+        return (inf1 & inf2) | (~inf1 & ~inf2 & ex & ey)
+
+    def is_infinity(self, p):
+        return self.f.is_zero(p[2])
+
+    # -- scalar multiplication ----------------------------------------------
+    def scalar_mul(self, p, k_limbs, nbits: int = 255):
+        """p · k, k as canonical (non-Montgomery) Fr limbs uint32[..., 16].
+
+        Fixed 255-iteration MSB-first double-and-add scan; per-lane bits
+        select between `acc` and `acc+base`, so arbitrary per-element
+        scalars cost the same as fixed ones.
+        """
+        f = self.f
+        bits = scalar_bits(k_limbs, nbits)  # [nbits, ...] MSB-first
+
+        base = p
+        init = self.infinity(f.shape(p[2]))
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add(acc, base)
+            acc = _select_pt(f, bit != 0, added, acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, init, bits)
+        return out
+
+    def msm(self, points, scalars, nbits: int = 255):
+        """Σ points_i · scalars_i over the leading axis (shared-bitscan MSM).
+
+        One 255-step scan: per step the running total doubles once and each
+        point is conditionally accumulated via its own bit — an O(N·nbits)
+        Pallas-free baseline; bucketed MSM lives above this.
+        """
+        f = self.f
+        bits = scalar_bits(scalars, nbits)  # [nbits, N, ...]
+
+        init = self.infinity(f.shape(points[2])[1:])
+
+        def body(acc, bit_row):
+            acc = self.double(acc)
+            # sum the selected points for this bit position, tree-reduce
+            sel = _select_pt(
+                f,
+                bit_row != 0,
+                points,
+                self.infinity(f.shape(points[2])),
+            )
+            total = _tree_sum(self, sel)
+            acc = self.add(acc, total)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, init, bits)
+        return out
+
+
+def _bshape(f, a, b):
+    if f is FqOps:
+        return jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    return jnp.broadcast_shapes(a[0].shape[:-1], b[0].shape[:-1])
+
+
+def _select_pt(f, cond, p, q):
+    return tuple(f.select(cond, a, b) for a, b in zip(p, q))
+
+
+def _tree_sum(curve, pts):
+    """Reduce a batch of points over the leading axis by pairwise addition."""
+    f = curve.f
+    n = f.shape(pts[2])[0]
+    while n > 1:
+        half = n // 2
+        even = jax.tree_util.tree_map(lambda a: a[: 2 * half : 2], pts)
+        odd = jax.tree_util.tree_map(lambda a: a[1 : 2 * half : 2], pts)
+        summed = curve.add(even, odd)
+        if n % 2:
+            tail = jax.tree_util.tree_map(lambda a: a[-1:], pts)
+            summed = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], 0), summed, tail
+            )
+            n = half + 1
+        else:
+            n = half
+        pts = summed
+    return jax.tree_util.tree_map(lambda a: a[0], pts)
+
+
+def scalar_bits(k_limbs, nbits: int):
+    """uint32[..., L] canonical limbs -> uint32[nbits, ...] bits, MSB first."""
+    chunks = []
+    for k in range(nbits - 1, -1, -1):
+        chunks.append((k_limbs[..., k // 16] >> (k % 16)) & 1)
+    return jnp.stack(chunks, axis=0)
+
+
+def fr_limbs_from_ints(ks) -> jnp.ndarray:
+    """Host scalars -> canonical (plain, non-Montgomery) Fr limb batch."""
+    import numpy as np
+
+    return jnp.asarray(
+        np.stack([mont.limbs_from_int(FR, k) for k in ks])
+    )
+
+
+def _stack_field(f, vals):
+    import numpy as np
+
+    if f is FqOps:
+        return jnp.asarray(np.stack([mont.to_mont(FQ, v) for v in vals]))
+    c0 = jnp.asarray(np.stack([mont.to_mont(FQ, v[0]) for v in vals]))
+    c1 = jnp.asarray(np.stack([mont.to_mont(FQ, v[1]) for v in vals]))
+    return (c0, c1)
+
+
+def _unstack_field(f, a):
+    import numpy as np
+
+    if f is FqOps:
+        return [mont.from_mont_int(FQ, row) for row in np.asarray(a).reshape(-1, FQ.L)]
+    c0 = np.asarray(a[0]).reshape(-1, FQ.L)
+    c1 = np.asarray(a[1]).reshape(-1, FQ.L)
+    return [
+        (mont.from_mont_int(FQ, c0[i]), mont.from_mont_int(FQ, c1[i]))
+        for i in range(c0.shape[0])
+    ]
+
+
+G1 = DeviceCurve(FqOps, B_G1, G1_GEN, "G1")
+G2 = DeviceCurve(Fq2Ops, B_G2, G2_GEN, "G2")

@@ -122,29 +122,32 @@ def _carry_chain(cols):
     """Resolve u32 column accumulators into canonical 16-bit limbs.
 
     Returns (limbs[..., L], overflow[...]) where overflow is whatever carries
-    out of the top limb (may be > 1 for relaxed inputs).
+    out of the top limb (may be > 1 for relaxed inputs).  Implemented as a
+    scan over the limb axis: tiny fixed graph regardless of L.
     """
-    L = cols.shape[-1]
-    outs = []
-    c = jnp.zeros_like(cols[..., 0])
-    for k in range(L):
-        s = cols[..., k] + c
-        outs.append(s & MASK16)
-        c = s >> 16
-    return jnp.stack(outs, axis=-1), c
+    x = jnp.moveaxis(cols, -1, 0)  # [L, ...]
+
+    def body(c, col):
+        s = col + c
+        return s >> 16, s & MASK16
+
+    c, limbs = jax.lax.scan(body, jnp.zeros_like(x[0]), x)
+    return jnp.moveaxis(limbs, 0, -1), c
 
 
 def _sub_limbs(a, b):
     """a - b over 16-bit limbs. Returns (diff[..., L], borrow[...] in {0,1})."""
-    L = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros_like(a[..., 0])
     big = jnp.uint32(1 << 16)
-    for k in range(L):
-        d = a[..., k] + big - b[..., k] - borrow
-        outs.append(d & MASK16)
-        borrow = jnp.uint32(1) - (d >> 16)
-    return jnp.stack(outs, axis=-1), borrow
+    xa = jnp.moveaxis(jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape)), -1, 0)
+    xb = jnp.moveaxis(jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape)), -1, 0)
+
+    def body(borrow, ab):
+        ak, bk = ab
+        d = ak + big - bk - borrow
+        return jnp.uint32(1) - (d >> 16), d & MASK16
+
+    borrow, limbs = jax.lax.scan(body, jnp.zeros_like(xa[0]), (xa, xb))
+    return jnp.moveaxis(limbs, 0, -1), borrow
 
 
 def _geq(a, b):
@@ -193,24 +196,14 @@ def eq(spec: FpSpec, a, b):
     return jnp.all(a == b, axis=-1)
 
 
-def _mont_mul_impl(spec: FpSpec, a, b):
-    """CIOS Montgomery multiplication: returns a*b*R^-1 mod p.
+# 'scan' keeps traced graphs tiny (fast XLA compiles, same total work);
+# 'unroll' exposes the whole CIOS loop to the fuser.  Switchable for benches.
+MUL_IMPL = "scan"
 
-    Inputs canonical 16-bit limbs (Montgomery form); output canonical.
-    The i-loop is unrolled at trace time; every op is elementwise uint32.
-    """
-    L = spec.L
+
+def _cios_round(spec: FpSpec, t, ai, b, p_arr, zcol):
+    """One CIOS iteration on relaxed columns t[..., L+1]."""
     n0inv = jnp.uint32(spec.n0inv)
-    p_arr = _const_limbs(spec, spec.p)  # [L]
-
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, shape + (L,))
-    b = jnp.broadcast_to(b, shape + (L,))
-
-    # t: L+1 relaxed u32 columns, manipulated as whole vectors so the traced
-    # graph stays ~12 ops per CIOS iteration.
-    t = jnp.zeros(shape + (L + 1,), jnp.uint32)
-    zcol = jnp.zeros(shape + (1,), jnp.uint32)
 
     def _acc(t, prod):
         lo = prod & MASK16
@@ -219,13 +212,40 @@ def _mont_mul_impl(spec: FpSpec, a, b):
         t = t + jnp.concatenate([zcol, hi], -1)
         return t
 
-    for i in range(L):
-        t = _acc(t, a[..., i : i + 1] * b)
-        m = ((t[..., 0] & MASK16) * n0inv) & MASK16
-        t = _acc(t, m[..., None] * p_arr)
-        # low column is now ≡ 0 mod 2^16; shift down one limb
-        carry = (t[..., 0] >> 16)[..., None]
-        t = jnp.concatenate([t[..., 1:2] + carry, t[..., 2:], zcol], -1)
+    t = _acc(t, ai[..., None] * b)
+    m = ((t[..., 0] & MASK16) * n0inv) & MASK16
+    t = _acc(t, m[..., None] * p_arr)
+    # low column is now ≡ 0 mod 2^16; shift down one limb
+    carry = (t[..., 0] >> 16)[..., None]
+    return jnp.concatenate([t[..., 1:2] + carry, t[..., 2:], zcol], -1)
+
+
+def _mont_mul_impl(spec: FpSpec, a, b):
+    """CIOS Montgomery multiplication: returns a*b*R^-1 mod p.
+
+    Inputs canonical 16-bit limbs (Montgomery form); output canonical.
+    Every op is elementwise uint32 over the free batch dims.
+    """
+    L = spec.L
+    p_arr = _const_limbs(spec, spec.p)  # [L]
+
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (L,))
+    b = jnp.broadcast_to(b, shape + (L,))
+
+    t = jnp.zeros(shape + (L + 1,), jnp.uint32)
+    zcol = jnp.zeros(shape + (1,), jnp.uint32)
+
+    if MUL_IMPL == "unroll":
+        for i in range(L):
+            t = _cios_round(spec, t, a[..., i], b, p_arr, zcol)
+    else:
+        a_steps = jnp.moveaxis(a, -1, 0)  # [L, ...]
+
+        def body(t, ai):
+            return _cios_round(spec, t, ai, b, p_arr, zcol), None
+
+        t, _ = jax.lax.scan(body, t, a_steps)
 
     limbs, over = _carry_chain(t[..., :L])
     over = over + t[..., L]  # residual column above the top limb (< 2^16)
