@@ -1,0 +1,329 @@
+"""Batched BLS12-381 ate pairing for TPU.
+
+Optimized, branch-free reformulation of the host oracle
+(`threshold_crypto_tpu.host.pairing`):
+
+* Miller loop with Q in homogeneous projective Fq2 coordinates and **sparse
+  line values**: each line, normalized by w³ and scaled by Fq2 denominators
+  (both killed by the final exponentiation, as they live in proper subfields
+  of Fq12), is (c0 + c1·v + c4·v·w) and folds into f via `fq12_mul_by_014`.
+* The |X| bit pattern is static and has weight 6, so the loop runs as
+  **zero-run scans** (double-step-only `lax.scan` segments) with the five
+  add-steps unrolled in between: no wasted add work on zero bits and a small
+  traced graph.
+* Final exponentiation mirrors the host lattice chain
+  ((X−1)²·(X+p)·(X²+p²−1)+3, see `host.params.HARD_EXP` notes) so device and
+  host produce *identical* GT elements — the parity tests rely on that.
+
+Everything is batched: inputs carry free leading dims, and `multi_pairing`
+adds a leading "pair" axis that shares one final exponentiation — the
+primitive both reference verify paths reduce to
+(`/root/reference/src/lib.rs:109,185,511`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..host.params import X_BITS
+from . import mont
+from . import tower as tw
+from .mont import FQ
+
+
+# ---------------------------------------------------------------------------
+# Point containers (plain pytrees)
+#   G1 affine: (x, y, inf)   — x, y Fq limbs;     inf bool[...]
+#   G2 affine: (x, y, inf)   — x, y Fq2 pairs;    inf bool[...]
+# ---------------------------------------------------------------------------
+
+def g1_affine_from_host(pts):
+    """List of host affine G1 points / None -> batched pytree."""
+    import numpy as np
+
+    xs, ys, infs = [], [], []
+    for pt in pts:
+        if pt is None:
+            xs.append(0)
+            ys.append(0)
+            infs.append(True)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            infs.append(False)
+    x = jnp.asarray(np.stack([mont.to_mont(FQ, v) for v in xs]))
+    y = jnp.asarray(np.stack([mont.to_mont(FQ, v) for v in ys]))
+    return (x, y, jnp.asarray(np.array(infs)))
+
+
+def g2_affine_from_host(pts):
+    import numpy as np
+
+    c = {"x0": [], "x1": [], "y0": [], "y1": []}
+    infs = []
+    for pt in pts:
+        if pt is None:
+            for k in c:
+                c[k].append(0)
+            infs.append(True)
+        else:
+            (x0, x1), (y0, y1) = pt
+            c["x0"].append(x0)
+            c["x1"].append(x1)
+            c["y0"].append(y0)
+            c["y1"].append(y1)
+            infs.append(False)
+    mk = lambda key: jnp.asarray(np.stack([mont.to_mont(FQ, v) for v in c[key]]))
+    x = (mk("x0"), mk("x1"))
+    y = (mk("y0"), mk("y1"))
+    return (x, y, jnp.asarray(np.array(infs)))
+
+
+# ---------------------------------------------------------------------------
+# Miller loop steps.  T = (X, Y, Z) homogeneous projective over Fq2.
+# ---------------------------------------------------------------------------
+
+def _dbl_step(T, xp, yp):
+    """Double T and return (T', line coeffs (c0, c1, c4)).
+
+    Line (tangent at T, untwisted, evaluated at P=(xp,yp), scaled by
+    w³·2YZ²):  c0 = 3X³ − 2Y²Z,  c1 = −3X²Z·xp,  c4 = 2YZ²·yp.
+    Doubling: W=3X², S=YZ, B=XYS, H=W²−8B → X'=2HS, Y'=W(4B−H)−8Y²S²,
+    Z'=8S³  (homogeneous a=0 formulas).
+    """
+    X, Y, Z = T
+    XX = tw.fq2_sqr(X)          # X²
+    YY = tw.fq2_sqr(Y)          # Y²
+    W = tw.fq2_mul_small(XX, 3)  # 3X²
+    S = tw.fq2_mul(Y, Z)
+    B = tw.fq2_mul(tw.fq2_mul(X, Y), S)
+    H = tw.fq2_sub(tw.fq2_sqr(W), tw.fq2_mul_small(B, 8))
+    SS = tw.fq2_sqr(S)
+    Xo = tw.fq2_mul(tw.fq2_mul_small(H, 2), S)
+    Yo = tw.fq2_sub(
+        tw.fq2_mul(W, tw.fq2_sub(tw.fq2_mul_small(B, 4), H)),
+        tw.fq2_mul_small(tw.fq2_mul(YY, SS), 8),
+    )
+    Zo = tw.fq2_mul_small(tw.fq2_mul(S, SS), 8)
+
+    # line coefficients
+    ZYY = tw.fq2_mul(YY, Z)
+    c0 = tw.fq2_sub(
+        tw.fq2_mul_small(tw.fq2_mul(XX, X), 3), tw.fq2_mul_small(ZYY, 2)
+    )
+    c1 = tw.fq2_scale_fq(tw.fq2_neg(tw.fq2_mul(tw.fq2_mul_small(XX, 3), Z)), xp)
+    c4 = tw.fq2_scale_fq(tw.fq2_mul_small(tw.fq2_mul(Y, tw.fq2_sqr(Z)), 2), yp)
+    return (Xo, Yo, Zo), (c0, c1, c4)
+
+
+def _add_step(T, Q, xp, yp):
+    """Mixed addition T += Q (Q affine) and the line through T, Q at P.
+
+    u = y₂Z − Y, v = x₂Z − X;  line (scaled by w³·v):
+      c0 = u·x₂ − v·y₂,  c1 = −u·xp,  c4 = v·yp.
+    Addition: A = u²Z − v³ − 2v²X → X'=vA, Y'=u(v²X−A)−v³Y, Z'=v³Z.
+    """
+    X, Y, Z = T
+    x2, y2 = Q
+    u = tw.fq2_sub(tw.fq2_mul(y2, Z), Y)
+    v = tw.fq2_sub(tw.fq2_mul(x2, Z), X)
+    vv = tw.fq2_sqr(v)
+    vvv = tw.fq2_mul(v, vv)
+    R = tw.fq2_mul(vv, X)
+    A = tw.fq2_sub(
+        tw.fq2_sub(tw.fq2_mul(tw.fq2_sqr(u), Z), vvv), tw.fq2_mul_small(R, 2)
+    )
+    Xo = tw.fq2_mul(v, A)
+    Yo = tw.fq2_sub(tw.fq2_mul(u, tw.fq2_sub(R, A)), tw.fq2_mul(vvv, Y))
+    Zo = tw.fq2_mul(vvv, Z)
+
+    c0 = tw.fq2_sub(tw.fq2_mul(u, x2), tw.fq2_mul(v, y2))
+    c1 = tw.fq2_scale_fq(tw.fq2_neg(u), xp)
+    c4 = tw.fq2_scale_fq(v, yp)
+    return (Xo, Yo, Zo), (c0, c1, c4)
+
+
+def _zero_runs(bits):
+    """Split a MSB-first bit list into [(n_zero_run, has_one_after), ...]."""
+    runs = []
+    n = 0
+    for b in bits:
+        if b:
+            runs.append((n, True))
+            n = 0
+        else:
+            n += 1
+    if n:
+        runs.append((n, False))
+    return runs
+
+
+def _dbl_iter(f, T, xp, yp):
+    """One Miller iteration, doubling part: f ← f²·l_tangent; T ← 2T."""
+    f = tw.fq12_sqr(f)
+    T, (c0, c1, c4) = _dbl_step(T, xp, yp)
+    return tw.fq12_mul_by_014(f, c0, c1, c4), T
+
+
+def _add_iter(f, T, Q, xp, yp):
+    """Addition part (1-bits only): f ← f·l_chord; T ← T + Q."""
+    T, (c0, c1, c4) = _add_step(T, Q, xp, yp)
+    return tw.fq12_mul_by_014(f, c0, c1, c4), T
+
+
+# Two small jitted step kernels, reused across all 63 iterations.  Compiling
+# the whole loop as one graph (63 × ~8k jaxpr eqns) takes XLA many minutes;
+# these compile once each in ~15 s and dispatch 68 times per Miller loop.
+@jax.jit
+def _jit_dbl(f, T, xp, yp):
+    return _dbl_iter(f, T, xp, yp)
+
+
+@jax.jit
+def _jit_dbl_add(f, T, xq, yq, xp, yp):
+    f, T = _dbl_iter(f, T, xp, yp)
+    return _add_iter(f, T, (xq, yq), xp, yp)
+
+
+@jax.jit
+def _jit_miller_finish(f, p_inf, q_inf):
+    shape = f[0][0][0].shape[:-1]
+    f = tw.fq12_conj(f)  # X < 0
+    return tw.fq12_select(p_inf | q_inf, tw.fq12_one(shape), f)
+
+
+def miller_loop(p_aff, q_aff):
+    """f_{|X|,Q}(P), conjugated for X < 0.  Returns a batched Fq12 element.
+
+    Infinite P or Q lanes yield exactly 1 (masked at the end).  Driven from
+    Python over two jitted step kernels — identical math to
+    `miller_loop_fused`, which trades per-step dispatch for a single
+    end-to-end jittable scan.
+    """
+    xp, yp, p_inf = p_aff
+    xq, yq, q_inf = q_aff
+    shape = xp.shape[:-1]
+
+    T = (xq, yq, tw.fq2_one(shape))
+    f = tw.fq12_one(shape)
+
+    for bit in X_BITS[1:]:
+        if bit:
+            f, T = _jit_dbl_add(f, T, xq, yq, xp, yp)
+        else:
+            f, T = _jit_dbl(f, T, xp, yp)
+    return _jit_miller_finish(f, p_inf, q_inf)
+
+
+def miller_loop_fused(p_aff, q_aff):
+    """Single-scan Miller loop: jittable end-to-end (one ~11k-eqn body).
+
+    Every iteration computes double AND (selected) add parts, so ~8% of the
+    add work is wasted on zero bits — the price of a single fused program
+    for whole-pipeline jit/pjit.
+    """
+    xp, yp, p_inf = p_aff
+    xq, yq, q_inf = q_aff
+    shape = xp.shape[:-1]
+
+    T0 = (xq, yq, tw.fq2_one(shape))
+    f0 = tw.fq12_one(shape)
+    bits = jnp.asarray(X_BITS[1:], dtype=jnp.uint32)
+
+    def body(carry, bit):
+        f, T = carry
+        f, T = _dbl_iter(f, T, xp, yp)
+        fa, Ta = _add_iter(f, T, (xq, yq), xp, yp)
+        f = tw.fq12_select(bit != 0, fa, f)
+        T = tuple(tw.fq2_select(bit != 0, a, b) for a, b in zip(Ta, T))
+        return (f, T), None
+
+    (f, _), _ = jax.lax.scan(body, (f0, T0), bits)
+    f = tw.fq12_conj(f)
+    return tw.fq12_select(p_inf | q_inf, tw.fq12_one(shape), f)
+
+
+# ---------------------------------------------------------------------------
+# Final exponentiation (identical chain to the host oracle).
+# ---------------------------------------------------------------------------
+
+_jit_sqr12 = jax.jit(tw.fq12_sqr)
+_jit_sqr_mul12 = jax.jit(lambda a, b: tw.fq12_mul(tw.fq12_sqr(a), b))
+
+
+def _exp_by_x(f):
+    """f^X in the cyclotomic subgroup (X < 0: conjugate at the end).
+
+    MSB-first square-and-multiply over the static |X| bit pattern (weight 6:
+    63 squarings, 5 multiplies), dispatching two small jitted kernels."""
+    result = f  # consumes the leading 1-bit
+    for bit in X_BITS[1:]:
+        if bit:
+            result = _jit_sqr_mul12(result, f)
+        else:
+            result = _jit_sqr12(result)
+    return tw.fq12_conj(result)
+
+
+def _easy_part(f):
+    f = tw.fq12_mul(tw.fq12_conj(f), tw.fq12_inv(f))
+    return tw.fq12_mul(tw.fq12_frob(f, 2), f)
+
+
+# Phase-level jit wrappers: each phase compiles once per input shape and is
+# then *reused* — `_exp_by_x` runs six times per final exponentiation, so
+# tracing it into one monolithic graph would recompile the same chain six
+# times over.  (`_exp_by_x` itself is a Python driver over jitted kernels.)
+_jit_easy = jax.jit(_easy_part)
+_jit_expx = _exp_by_x
+_jit_mul = jax.jit(tw.fq12_mul)
+_jit_glue1 = jax.jit(lambda t, f: tw.fq12_mul(t, tw.fq12_frob(f, 1)))
+_jit_glue2 = jax.jit(
+    lambda s, t: tw.fq12_mul(tw.fq12_mul(s, tw.fq12_frob(t, 2)), tw.fq12_conj(t))
+)
+_jit_glue3 = jax.jit(lambda t, f: tw.fq12_mul(t, tw.fq12_mul(tw.fq12_sqr(f), f)))
+_jit_xm1 = jax.jit(lambda g, gx: tw.fq12_mul(gx, tw.fq12_conj(g)))
+
+
+def final_exponentiation(f):
+    """Host-identical GT element: easy part then the lattice hard part
+    (X−1)²(X+p)(X²+p²−1) + 3, composed from reusable jitted phases."""
+    f = _jit_easy(f)
+    t = _jit_xm1(f, _jit_expx(f))            # f^(X-1)
+    t = _jit_xm1(t, _jit_expx(t))            # f^((X-1)^2)
+    t = _jit_glue1(_jit_expx(t), t)          # ^(X+p)
+    t = _jit_glue2(_jit_expx(_jit_expx(t)), t)  # ^(X^2+p^2-1)
+    return _jit_glue3(t, f)                  # * f^3
+
+
+# ---------------------------------------------------------------------------
+# Public batched primitives
+# ---------------------------------------------------------------------------
+
+def pairing(p_aff, q_aff):
+    """Reduced pairing per batch lane; equals the host `pairing` exactly."""
+    return final_exponentiation(miller_loop(p_aff, q_aff))
+
+
+def multi_pairing(p_aff, q_aff):
+    """∏ over the leading 'pair' axis of e(P_i, Q_i) per remaining batch lane.
+
+    Inputs [k, ...]-batched; one shared final exponentiation.
+    """
+    f = miller_loop(p_aff, q_aff)  # [k, ...] fq12
+
+    def mul_pair(a, b):
+        return tw.fq12_mul(a, b)
+
+    k = p_aff[0].shape[0]
+    acc = jax.tree_util.tree_map(lambda arr: arr[0], f)
+    for i in range(1, k):
+        fi = jax.tree_util.tree_map(lambda arr: arr[i], f)
+        acc = mul_pair(acc, fi)
+    return final_exponentiation(acc)
+
+
+def pairing_check(p_aff, q_aff):
+    """bool[...]: ∏ e(P_i, Q_i) == 1 over the leading pair axis."""
+    return tw.fq12_is_one(multi_pairing(p_aff, q_aff))
