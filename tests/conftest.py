@@ -21,6 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the big device-path graphs (pairing, scalar
+# mul) cost minutes of XLA:CPU compile on this 2-core box; cache them across
+# test runs.  /tmp survives within a round; safe to lose.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 import threshold_crypto_tpu as tc  # noqa: E402

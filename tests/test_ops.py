@@ -1,0 +1,198 @@
+"""Batched device ops (`threshold_crypto_tpu.ops`) vs the host oracle."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from threshold_crypto_tpu import ops
+from threshold_crypto_tpu.device import curve as dcv
+from threshold_crypto_tpu.device import pairing as dpr
+from threshold_crypto_tpu.host import curve as hcv
+from threshold_crypto_tpu.host.params import R
+from threshold_crypto_tpu.ops import fr as frops
+
+rnd = random.Random(0x0501)
+
+
+def _poly(coeffs):
+    return lambda x: sum(c * pow(x, k, R) for k, c in enumerate(coeffs)) % R
+
+
+def _unbatch(tree):
+    return jax.tree_util.tree_map(lambda a: a[None], tree)
+
+
+# ---------------------------------------------------------------------------
+# Fr kernels
+# ---------------------------------------------------------------------------
+
+def test_poly_eval_matches_host():
+    coeffs = [rnd.randrange(R) for _ in range(6)]
+    xs = [rnd.randrange(R) for _ in range(5)]
+    f = _poly(coeffs)
+    got = frops.fr_from_device(
+        frops.poly_eval(frops.fr_to_device(coeffs), frops.fr_to_device(xs))
+    )
+    assert got == [f(x) for x in xs]
+
+
+def test_poly_eval_degree_zero():
+    got = frops.fr_from_device(
+        frops.poly_eval(frops.fr_to_device([42]), frops.fr_to_device([1, 7]))
+    )
+    assert got == [42, 42]
+
+
+def test_lagrange_interpolate_at_zero():
+    coeffs = [rnd.randrange(R) for _ in range(4)]
+    f = _poly(coeffs)
+    xs = [1, 2, 5, 9]
+    val, ok = frops.interpolate_at_zero(
+        frops.fr_to_device(xs), frops.fr_to_device([f(x) for x in xs])
+    )
+    assert bool(ok)
+    assert frops.fr_from_device(val[None])[0] == coeffs[0]
+
+
+def test_lagrange_duplicate_and_zero_x_flagged():
+    _, ok = frops.lagrange_coeffs_at_zero(frops.fr_to_device([1, 3, 3]))
+    assert not bool(ok)
+    _, ok = frops.lagrange_coeffs_at_zero(frops.fr_to_device([0, 1, 2]))
+    assert not bool(ok)
+    _, ok = frops.lagrange_coeffs_at_zero(frops.fr_to_device([1, 2, 3]))
+    assert bool(ok)
+
+
+def test_fr_plain_mont_roundtrip():
+    xs = [0, 1, R - 1, rnd.randrange(R)]
+    m = frops.fr_to_device(xs)
+    plain = frops.fr_to_plain(m)
+    back = frops.fr_from_plain(plain)
+    assert frops.fr_from_device(back) == xs
+    # plain limbs really are the canonical representation
+    assert [dcv.mont.int_from_limbs(row) for row in np.asarray(plain)] == xs
+
+
+# ---------------------------------------------------------------------------
+# Group/pairing protocol ops
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sig_setup():
+    """Shared tiny signing scenario: 3 shares of a degree-1 polynomial."""
+    coeffs = [rnd.randrange(R) for _ in range(2)]
+    f = _poly(coeffs)
+    hk = rnd.randrange(1, R)
+    h_host = hcv.G2.mul(hcv.G2.generator, hk)
+    xs = [1, 2, 4]
+    sks = [f(x) for x in xs]
+    pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
+    sig_host = [hcv.G2.mul(h_host, s) for s in sks]
+    return coeffs, f, h_host, xs, sks, pk_host, sig_host
+
+
+def test_sign_batch(sig_setup):
+    _, _, h_host, _, sks, _, sig_host = sig_setup
+    h_jac = dcv.G2.from_host_affine([h_host] * 3)
+    sig = ops.sign_batch(h_jac, dcv.fr_limbs_from_ints(sks))
+    assert dcv.G2.to_host_affine(sig) == sig_host
+
+
+def test_jacobian_affine_roundtrip(sig_setup):
+    *_, pk_host, _ = sig_setup
+    pts = pk_host + [None]
+    jac = dcv.G1.from_host_affine(pts)
+    aff = ops.jacobian_to_affine(dcv.G1, jac)
+    x, y, inf = aff
+    assert list(np.asarray(inf)) == [False, False, False, True]
+    back = ops.affine_to_jacobian(dcv.G1, aff)
+    assert dcv.G1.to_host_affine(back) == pts
+
+
+def test_verify_batch_stepwise(sig_setup):
+    _, _, h_host, _, _, pk_host, sig_host = sig_setup
+    bad = sig_host[:2] + [hcv.G2.mul(sig_host[2], 2)]
+    pk = dpr.g1_affine_from_host(pk_host)
+    h = dpr.g2_affine_from_host([h_host] * 3)
+    sig = dpr.g2_affine_from_host(bad)
+    ok = ops.verify_batch_stepwise(pk, h, sig)
+    assert list(np.asarray(ok)) == [True, True, False]
+
+
+def test_verify_batch_fused_matches_stepwise(sig_setup):
+    _, _, h_host, _, _, pk_host, sig_host = sig_setup
+    bad = [sig_host[0]] + [hcv.G2.mul(sig_host[1], 3)] + [sig_host[2]]
+    pk = dpr.g1_affine_from_host(pk_host)
+    h = dpr.g2_affine_from_host([h_host] * 3)
+    sig = dpr.g2_affine_from_host(bad)
+    fused = ops.verify_batch(pk, h, sig)
+    stepwise = ops.verify_batch_stepwise(pk, h, sig)
+    assert list(np.asarray(fused)) == list(np.asarray(stepwise))
+    assert list(np.asarray(fused)) == [True, False, True]
+
+
+def test_combine_batch_recovers_master_sig(sig_setup):
+    coeffs, f, h_host, xs, _, _, sig_host = sig_setup
+    sh = dcv.G2.from_host_affine(sig_host)
+    out, ok = ops.combine_batch(dcv.G2, sh, frops.fr_to_device(xs))
+    assert bool(ok)
+    got = dcv.G2.to_host_affine(_unbatch(out))[0]
+    assert got == hcv.G2.mul(h_host, f(0))
+
+
+def test_combine_batch_stepwise_matches(sig_setup):
+    coeffs, f, h_host, xs, _, _, sig_host = sig_setup
+    sh = dcv.G2.from_host_affine(sig_host)
+    out, ok = ops.combine_batch_stepwise(dcv.G2, sh, frops.fr_to_device(xs))
+    assert bool(ok)
+    got = dcv.G2.to_host_affine(_unbatch(out))[0]
+    assert got == hcv.G2.mul(h_host, f(0))
+
+
+def test_combine_batch_g1_decryption_shares():
+    # decryption-share combine is the same interpolation in G1
+    coeffs = [rnd.randrange(R) for _ in range(3)]
+    f = _poly(coeffs)
+    uk = rnd.randrange(1, R)
+    u = hcv.G1.mul(hcv.G1.generator, uk)
+    xs = [1, 2, 3]
+    shares = [hcv.G1.mul(u, f(x)) for x in xs]
+    out, ok = ops.combine_batch(
+        dcv.G1, dcv.G1.from_host_affine(shares), frops.fr_to_device(xs)
+    )
+    assert bool(ok)
+    got = dcv.G1.to_host_affine(_unbatch(out))[0]
+    assert got == hcv.G1.mul(u, f(0))
+
+
+def test_combine_duplicate_x_flagged(sig_setup):
+    *_, sig_host = sig_setup
+    sh = dcv.G2.from_host_affine(sig_host)
+    _, ok = ops.combine_batch(dcv.G2, sh, frops.fr_to_device([1, 2, 2]))
+    assert not bool(ok)
+
+
+def test_commit_batch(sig_setup):
+    coeffs, *_ = sig_setup
+    comm = ops.commit_batch(dcv.fr_limbs_from_ints(coeffs))
+    got = dcv.G1.to_host_affine(comm)
+    assert got == [hcv.G1.mul(hcv.G1.generator, c) for c in coeffs]
+
+
+def test_derive_shares_matches_host_poly(sig_setup):
+    coeffs, f, _, xs, sks, _, _ = sig_setup
+    got = frops.fr_from_device(
+        ops.derive_shares(frops.fr_to_device(coeffs), frops.fr_to_device(xs))
+    )
+    assert got == sks
+
+
+def test_scalar_mul_stepwise_matches_scan():
+    ks = [0, 1, rnd.randrange(R)]
+    base = dcv.G1.from_host_affine([hcv.G1.generator] * 3)
+    kl = dcv.fr_limbs_from_ints(ks)
+    a = dcv.G1.to_host_affine(dcv.G1.scalar_mul(base, kl))
+    b = dcv.G1.to_host_affine(dcv.G1.scalar_mul_stepwise(base, kl))
+    assert a == b == [hcv.G1.mul(hcv.G1.generator, k) if k else None for k in ks]

@@ -131,6 +131,8 @@ class DeviceCurve:
         self.b_host = b_const
         self.gen_affine_host = gen_affine
         self.name = name
+        self._msm_step = None
+        self._mul_step = None
 
     # -- constructors --------------------------------------------------------
     def infinity(self, shape=()):
@@ -307,6 +309,48 @@ class DeviceCurve:
 
         out, _ = jax.lax.scan(body, init, bits)
         return out
+
+    # -- stepwise (dispatch-per-bit) variants ---------------------------------
+    # Same math as scalar_mul/msm, but driven from Python over one tiny
+    # jitted step kernel instead of a single lax.scan program.  XLA compiles
+    # the step once (~seconds) and dispatches it nbits times — the
+    # compile-latency escape hatch for cold-start paths (dryrun, first use),
+    # exactly like the pairing's host-driven `miller_loop`.
+
+    def scalar_mul_stepwise(self, p, k_limbs, nbits: int = 255):
+        f = self.f
+        if self._mul_step is None:
+            @jax.jit
+            def step(acc, base, bit):
+                acc = self.double(acc)
+                added = self.add(acc, base)
+                return _select_pt(f, bit != 0, added, acc)
+
+            self._mul_step = step
+        bits = scalar_bits(k_limbs, nbits)
+        acc = self.infinity(f.shape(p[2]))
+        for k in range(nbits):
+            acc = self._mul_step(acc, p, bits[k])
+        return acc
+
+    def msm_stepwise(self, points, scalars, nbits: int = 255):
+        f = self.f
+        if self._msm_step is None:
+            @jax.jit
+            def step(acc, points, bit_row):
+                acc = self.double(acc)
+                sel = _select_pt(
+                    f, bit_row != 0, points,
+                    self.infinity(f.shape(points[2])),
+                )
+                return self.add(acc, _tree_sum(self, sel))
+
+            self._msm_step = step
+        bits = scalar_bits(scalars, nbits)
+        acc = self.infinity(f.shape(points[2])[1:])
+        for k in range(nbits):
+            acc = self._msm_step(acc, points, bits[k])
+        return acc
 
 
 def _bshape(f, a, b):

@@ -297,6 +297,58 @@ def final_exponentiation(f):
     return _jit_glue3(t, f)                  # * f^3
 
 
+def _exp_by_x_fused(f):
+    """f^|X| conjugated (= f^X, X<0) as one `lax.scan` — jittable end-to-end.
+
+    Costs a wasted fq12 multiply on the 58 zero bits (select-based), the
+    price of a single fused program; `_exp_by_x` above is the cheaper
+    dispatch-per-step variant used on the host-driven path.
+    """
+    bits = jnp.asarray(X_BITS[1:], dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = tw.fq12_sqr(acc)
+        withm = tw.fq12_mul(acc, f)
+        return tw.fq12_select(bit != 0, withm, acc), None
+
+    out, _ = jax.lax.scan(body, f, bits)
+    return tw.fq12_conj(out)
+
+
+def final_exponentiation_fused(f):
+    """Same lattice chain as `final_exponentiation`, but every phase inlined
+    so the whole reduction is one traceable graph (for whole-pipeline jit)."""
+    f = _easy_part(f)
+    t = tw.fq12_mul(_exp_by_x_fused(f), tw.fq12_conj(f))      # f^(X-1)
+    t = tw.fq12_mul(_exp_by_x_fused(t), tw.fq12_conj(t))      # ^(X-1) again
+    t = tw.fq12_mul(_exp_by_x_fused(t), tw.fq12_frob(t, 1))   # ^(X+p)
+    tx2 = _exp_by_x_fused(_exp_by_x_fused(t))
+    t = tw.fq12_mul(tw.fq12_mul(tx2, tw.fq12_frob(t, 2)), tw.fq12_conj(t))
+    return tw.fq12_mul(t, tw.fq12_mul(tw.fq12_sqr(f), f))     # * f^3
+
+
+def _fq12_prod_leading(f, k: int):
+    """Product of a [k, ...]-batched Fq12 over the leading axis (static k)."""
+    acc = jax.tree_util.tree_map(lambda arr: arr[0], f)
+    for i in range(1, k):
+        fi = jax.tree_util.tree_map(lambda arr: arr[i], f)
+        acc = tw.fq12_mul(acc, fi)
+    return acc
+
+
+def pairing_check_fused(p_aff, q_aff):
+    """Jittable-end-to-end ∏ e(P_i, Q_i) == 1 over the leading pair axis.
+
+    The primitive both reference verify paths reduce to
+    (`/root/reference/src/lib.rs:109,185,511`); this variant traces as ONE
+    XLA program (fused Miller scan + fused final exponentiation) so it can
+    sit inside jit/pjit pipelines and shard_map regions.
+    """
+    f = miller_loop_fused(p_aff, q_aff)
+    acc = _fq12_prod_leading(f, p_aff[0].shape[0])
+    return tw.fq12_is_one(final_exponentiation_fused(acc))
+
+
 # ---------------------------------------------------------------------------
 # Public batched primitives
 # ---------------------------------------------------------------------------

@@ -1,0 +1,37 @@
+"""Batch-first device operations: the TPU hot paths of the protocol layer.
+
+`ops.fr`        — batched scalar-field kernels (Horner, Lagrange).
+`ops.threshold` — batched group/pairing protocol ops (sign, verify,
+                  combine, commit).
+
+These are pure jittable functions over limb arrays / point pytrees; the
+object-level API in `threshold_crypto_tpu.lib` calls into them for batch
+work, and `threshold_crypto_tpu.parallel` shards them over device meshes.
+"""
+
+from . import fr  # noqa: F401
+from . import threshold  # noqa: F401
+
+from .fr import (  # noqa: F401
+    fr_from_device,
+    fr_from_plain,
+    fr_to_device,
+    fr_to_plain,
+    interpolate_at_zero,
+    lagrange_coeffs_at_zero,
+    poly_eval,
+)
+from .threshold import (  # noqa: F401
+    affine_to_jacobian,
+    ciphertext_verify_batch,
+    combine_batch,
+    combine_batch_stepwise,
+    commit_batch,
+    decrypt_share_batch,
+    derive_shares,
+    jacobian_to_affine,
+    sign_batch,
+    verify_batch,
+    verify_batch_stepwise,
+    verify_dec_share_batch,
+)

@@ -1,0 +1,161 @@
+"""Batched scalar-field (Fr) protocol kernels.
+
+These are the device-side, batch-first forms of the reference's sequential
+Fr loops:
+
+* `poly_eval`   — Horner evaluation of one polynomial at a batch of points
+  (`/root/reference/src/poly.rs:358-369`: the per-share keygen hot loop).
+* `lagrange_coeffs_at_zero` — the λ_i used by in-exponent interpolation
+  (`/root/reference/src/lib.rs:740-763`: prefix/suffix products, one field
+  inversion per share → here one *batched* Montgomery-trick inversion).
+* `interpolate_at_zero` — Lagrange interpolation of scalar samples
+  (`/root/reference/src/poly.rs:388-417`), used by DKG row reconstruction.
+
+All values are uint32[..., 16] Montgomery-form Fr limbs unless noted;
+helpers convert to the canonical (plain) limb form `scalar_bits` expects.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..device import mont
+from ..device.mont import FR
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion
+# ---------------------------------------------------------------------------
+
+def fr_to_device(xs) -> jnp.ndarray:
+    """Host ints -> uint32[N, 16] Montgomery-form limbs."""
+    return jnp.asarray(mont.stack_mont(FR, list(xs)))
+
+
+def fr_from_device(arr) -> list:
+    """Montgomery-form limbs -> host ints."""
+    return mont.unstack_mont(FR, np.asarray(arr))
+
+
+def fr_to_plain(a):
+    """Montgomery form -> canonical plain limbs (for `scalar_bits`):
+    one Montgomery multiply by the literal 1."""
+    one_plain = mont._const_limbs(FR, 1)
+    return mont.mul(FR, a, one_plain)
+
+
+def fr_from_plain(a):
+    """Canonical plain limbs -> Montgomery form (multiply by R²)."""
+    r2 = mont._const_limbs(FR, FR.r2)
+    return mont.mul(FR, a, r2)
+
+
+# ---------------------------------------------------------------------------
+# Batched polynomial evaluation (keygen share derivation)
+# ---------------------------------------------------------------------------
+
+def poly_eval(coeffs, xs):
+    """Horner: f(x) for every x in the batch.
+
+    coeffs: uint32[D+1, 16] Montgomery Fr limbs, index k = coefficient of
+    x^k (the reference's layout, `/root/reference/src/poly.rs:43`).
+    xs:     uint32[..., 16] Montgomery Fr limbs (any batch shape).
+    Returns uint32[..., 16].
+
+    One `lax.scan` over the coefficient axis: D muls + D adds per lane,
+    identical op count to the reference's sequential Horner but over the
+    whole share batch at once.
+    """
+    shape = xs.shape[:-1]
+    rev = coeffs[::-1]  # highest degree first
+    init = jnp.broadcast_to(rev[0], shape + (FR.L,))
+
+    def body(acc, c):
+        acc = mont.mul(FR, acc, xs)
+        acc = mont.add(FR, acc, jnp.broadcast_to(c, acc.shape))
+        return acc, None
+
+    out, _ = jax.lax.scan(body, init, rev[1:])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched Lagrange machinery (threshold combine / interpolation)
+# ---------------------------------------------------------------------------
+
+def _prod_leading(a):
+    """Product over the leading axis by pairwise halving (log-depth tree)."""
+    n = a.shape[0]
+    while n > 1:
+        half = n // 2
+        prod = mont.mul(FR, a[: 2 * half : 2], a[1 : 2 * half : 2])
+        if n % 2:
+            prod = jnp.concatenate([prod, a[-1:]], axis=0)
+            n = half + 1
+        else:
+            n = half
+        a = prod
+    return a[0]
+
+
+def lagrange_coeffs_at_zero(xs):
+    """λ_i = Π_{j≠i} x_j / (x_j − x_i) for a batch of distinct x's.
+
+    xs: uint32[N, 16] Montgomery Fr limbs. Returns (lam[N, 16], ok[]) where
+    `ok` is False iff any x_i == x_j (duplicate) or any x_i == 0 — the
+    conditions the reference reports as DuplicateEntry via a failed inverse
+    (`/root/reference/src/lib.rs:754-763`).
+
+    Vectorization: the N×N difference matrix replaces the reference's
+    prefix/suffix product trick; one Montgomery-trick `batch_inv` replaces
+    N separate extended-Euclid inversions.
+    """
+    n = xs.shape[0]
+    # numerator_i = Π_j x_j  (including x_i; divided out through den below)
+    prod_all = _prod_leading(xs)
+
+    # diffs[i, j] = x_j - x_i; diagonal forced to 1 so the row product is
+    # Π_{j≠i}(x_j − x_i).
+    diffs = mont.sub(FR, xs[None, :, :], xs[:, None, :])  # [i, j, L]
+    eye = jnp.eye(n, dtype=bool)
+    dup = jnp.any(mont.is_zero(FR, diffs) & ~eye)
+    diffs = mont.select(eye, jnp.broadcast_to(mont.one(FR), diffs.shape), diffs)
+
+    # row products: Π_j diffs[i, j]  -> [N, L]
+    row_prod = _prod_leading(jnp.moveaxis(diffs, 1, 0))  # reduce over j
+
+    # den_i = x_i * Π_{j≠i}(x_j − x_i); λ_i = prod_all / den_i
+    den = mont.mul(FR, xs, row_prod)
+    zero_x = jnp.any(mont.is_zero(FR, xs))
+    den_inv = mont.batch_inv(FR, den)
+    lam = mont.mul(FR, jnp.broadcast_to(prod_all, den_inv.shape), den_inv)
+    return lam, ~(dup | zero_x)
+
+
+def interpolate_at_zero(xs, ys):
+    """Lagrange interpolation of scalar samples at x=0: Σ λ_i·y_i.
+
+    xs, ys: uint32[N, 16] Montgomery Fr limbs. Returns (value, ok).
+    Mirrors `Poly::interpolate(...).evaluate(0)` without materializing the
+    full polynomial (`/root/reference/src/poly.rs:341-350`).
+    """
+    lam, ok = lagrange_coeffs_at_zero(xs)
+    terms = mont.mul(FR, lam, ys)
+    n = terms.shape[0]
+    acc = terms[0]
+    # log-depth additive tree
+    a = terms
+    m = n
+    while m > 1:
+        half = m // 2
+        s = mont.add(FR, a[: 2 * half : 2], a[1 : 2 * half : 2])
+        if m % 2:
+            s = jnp.concatenate([s, a[-1:]], axis=0)
+            m = half + 1
+        else:
+            m = half
+        a = s
+    acc = a[0]
+    return acc, ok

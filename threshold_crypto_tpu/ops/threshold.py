@@ -1,0 +1,224 @@
+"""Batched threshold-protocol group operations (the device hot paths).
+
+Each function here is the batch-first, jittable form of one reference hot
+loop (SURVEY.md §3 call stacks):
+
+* `sign_batch`        — sig_i = H(m_i) · sk_i, the per-share BLS sign
+  (`/root/reference/src/lib.rs:372-374`), batched over shares/messages.
+* `verify_batch`      — e(pk_i, H_i) == e(G1, sig_i) for a whole batch, as
+  one fused 2-pair product check per lane
+  (`/root/reference/src/lib.rs:108-110`).
+* `verify_dec_share_batch` — e(share_i, H(u,v)_i) == e(pk_i, w_i)
+  (`/root/reference/src/lib.rs:182-186`).
+* `combine_batch`     — in-exponent Lagrange interpolation at x=0
+  (`/root/reference/src/lib.rs:719-767`): λ on device Fr + one MSM.
+* `commit_batch`      — Feldman commitment: per-coefficient fixed-base G1
+  scalar-mul (`/root/reference/src/poly.rs:372-377`).
+
+Points travel as the Jacobian pytrees of `device.curve` (or the affine
+pytrees of `device.pairing` for pairing inputs); scalars as uint32[..., 16]
+limbs — Montgomery form for field math, canonical plain form for scalar
+multiplication bits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..device import curve as dcv
+from ..device import mont
+from ..device import pairing as dpr
+from ..device.mont import FQ, FR
+from . import fr as frops
+
+
+# ---------------------------------------------------------------------------
+# Coordinate plumbing
+# ---------------------------------------------------------------------------
+
+def jacobian_to_affine(curve: dcv.DeviceCurve, p):
+    """Batched Jacobian -> affine pytree (x, y, inf) for the pairing kernels.
+
+    One Fermat inversion per lane (batch shape preserved); infinity lanes
+    produce masked garbage coordinates with inf=True.
+    """
+    f = curve.f
+    X, Y, Z = p
+    inf = f.is_zero(Z)
+    zinv = f.inv(Z)
+    zinv2 = f.sqr(zinv)
+    x = f.mul(X, zinv2)
+    y = f.mul(Y, f.mul(zinv2, zinv))
+    return (x, y, inf)
+
+
+def affine_to_jacobian(curve: dcv.DeviceCurve, aff):
+    """Affine pytree (x, y, inf) -> Jacobian (X, Y, Z) with Z in {0, 1}."""
+    f = curve.f
+    x, y, inf = aff
+    shape = f.shape(x)
+    Z = f.select(inf, f.zero(shape), f.one(shape))
+    return (x, y, Z)
+
+
+# ---------------------------------------------------------------------------
+# Sign (G2 scalar-mul over the share batch)
+# ---------------------------------------------------------------------------
+
+def sign_batch(h_jac, sk_plain):
+    """sig_i = H_i · sk_i over the leading batch axis.
+
+    h_jac: batched G2 Jacobian pytree (a shared hash point should be
+    broadcast to the batch by the caller); sk_plain: uint32[N, 16]
+    canonical plain Fr limbs. Returns a batched G2 Jacobian pytree.
+    """
+    return dcv.G2.scalar_mul(h_jac, sk_plain)
+
+
+def decrypt_share_batch(u_jac, sk_plain):
+    """d_i = u · sk_i (G1), the threshold-decryption share
+    (`/root/reference/src/lib.rs:460-462`)."""
+    return dcv.G1.scalar_mul(u_jac, sk_plain)
+
+
+# ---------------------------------------------------------------------------
+# Verify (batched 2-pair product checks)
+# ---------------------------------------------------------------------------
+
+def _pair2(a_aff, b_aff):
+    """Stack two equally-batched affine pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([x, y], axis=0), a_aff, b_aff
+    )
+
+
+def verify_batch(pk_aff, h_aff, sig_aff):
+    """bool[N]: e(pk_i, H_i) == e(G1, sig_i) per lane.
+
+    Inputs: pk_aff G1 affine pytree [N], h_aff / sig_aff G2 affine pytrees
+    [N]. One fused multi-Miller (pair axis 2) + one final exponentiation —
+    the standard e(pk,H)·e(−G1,sig)==1 trick, vs the reference's two full
+    pairings (`/root/reference/src/lib.rs:108-110`).
+    """
+    n = pk_aff[2].shape[0]
+    neg_gen = _neg_gen_g1((n,))
+    p = _pair2(pk_aff, neg_gen)
+    q = _pair2(h_aff, sig_aff)
+    return dpr.pairing_check_fused(p, q)
+
+
+def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
+    """`verify_batch` driven over small jitted step kernels (host-driven
+    Miller loop + phase-wise final exponentiation): same results, a fraction
+    of the compile latency.  Use on cold-start paths; the fused form wins
+    once compiled."""
+    n = pk_aff[2].shape[0]
+    p = _pair2(pk_aff, _neg_gen_g1((n,)))
+    q = _pair2(h_aff, sig_aff)
+    return dpr.pairing_check(p, q)
+
+
+def verify_dec_share_batch(share_aff, huv_aff, pk_aff, w_aff):
+    """bool[N]: e(share_i, H(u,v)_i) == e(pk_i, w_i) per lane
+    (`/root/reference/src/lib.rs:182-186`)."""
+    p = _pair2(share_aff, _neg_aff(dcv.G1, pk_aff))
+    q = _pair2(huv_aff, w_aff)
+    return dpr.pairing_check_fused(p, q)
+
+
+def ciphertext_verify_batch(u_aff, w_aff, huv_aff):
+    """bool[N]: e(G1, w_i) == e(u_i, H(u,v)_i) — the CCA gate
+    (`/root/reference/src/lib.rs:508-513`)."""
+    n = u_aff[2].shape[0]
+    gen = _gen_g1((n,))
+    p = _pair2(gen, _neg_aff(dcv.G1, u_aff))
+    q = _pair2(w_aff, huv_aff)
+    return dpr.pairing_check_fused(p, q)
+
+
+def _gen_g1(shape):
+    f = dcv.G1.f
+    gx, gy = dcv.G1.gen_affine_host
+    return (
+        f.from_host(gx, shape),
+        f.from_host(gy, shape),
+        jnp.zeros(shape, bool),
+    )
+
+
+def _neg_gen_g1(shape):
+    x, y, inf = _gen_g1(shape)
+    return (x, dcv.G1.f.neg(y), inf)
+
+
+def _neg_aff(curve, aff):
+    x, y, inf = aff
+    return (x, curve.f.neg(y), inf)
+
+
+# ---------------------------------------------------------------------------
+# Combine (in-exponent Lagrange at x=0)
+# ---------------------------------------------------------------------------
+
+def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont):
+    """Σ_i λ_i · share_i with λ from the batch's x coordinates.
+
+    curve: dcv.G2 for signature shares, dcv.G1 for decryption shares.
+    shares_jac: batched Jacobian pytree [N]; xs_mont: uint32[N, 16]
+    Montgomery Fr limbs (already the reference's x = i+1 convention,
+    `/root/reference/src/lib.rs:769-773`).
+    Returns (point pytree [], ok[]) — ok False on duplicate/zero x
+    (the reference's DuplicateEntry, `/root/reference/src/lib.rs:763`).
+    """
+    lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
+    lam_plain = frops.fr_to_plain(lam_mont)
+    out = curve.msm(shares_jac, lam_plain)
+    return out, ok
+
+
+_jit_lagrange_plain = None
+
+
+def combine_batch_stepwise(curve: dcv.DeviceCurve, shares_jac, xs_mont):
+    """`combine_batch` with the MSM driven bit-by-bit over a small jitted
+    kernel (compile-latency escape hatch, cf. `msm_stepwise`)."""
+    global _jit_lagrange_plain
+    if _jit_lagrange_plain is None:
+        import jax as _jax
+
+        @_jax.jit
+        def _lp(xs):
+            lam, ok = frops.lagrange_coeffs_at_zero(xs)
+            return frops.fr_to_plain(lam), ok
+
+        _jit_lagrange_plain = _lp
+    lam_plain, ok = _jit_lagrange_plain(xs_mont)
+    out = curve.msm_stepwise(shares_jac, lam_plain)
+    return out, ok
+
+
+# ---------------------------------------------------------------------------
+# Commitments / keygen
+# ---------------------------------------------------------------------------
+
+def commit_batch(coeffs_plain):
+    """Feldman commitment: G1·c_k for every coefficient.
+
+    coeffs_plain: uint32[D+1, 16] canonical plain Fr limbs. Returns a
+    batched G1 Jacobian pytree [D+1]. (The reference's per-coefficient
+    fixed-base loop, `/root/reference/src/poly.rs:372-377`.)
+    """
+    n = coeffs_plain.shape[0]
+    base = dcv.G1.generator((n,))
+    return dcv.G1.scalar_mul(base, coeffs_plain)
+
+
+def derive_shares(coeffs_mont, xs_mont):
+    """Keygen: f(x_i) for the whole share batch (one batched Horner).
+
+    Mirrors `SecretKeySet::secret_key_share`
+    (`/root/reference/src/lib.rs:670-673`) over all N shares at once.
+    Returns Montgomery-form Fr limbs [N, 16].
+    """
+    return frops.poly_eval(coeffs_mont, xs_mont)
