@@ -33,6 +33,20 @@ import pytest  # noqa: E402
 import threshold_crypto_tpu as tc  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    XLA:CPU segfaults once the suite accumulates ~70 tests' worth of loaded
+    executables in one process (the next large compile/deserialize crashes —
+    JIT code-memory exhaustion; reproduced at tests/test_ops.py #71 under
+    three different stacks).  Bounding resident executables per module fixes
+    it; the persistent on-disk cache keeps recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(params=["mock", "bls12_381"])
 def backend(request):
     """Run a test under both backends (mirrors the reference's cfg matrix)."""

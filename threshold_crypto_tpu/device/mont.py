@@ -28,6 +28,7 @@ Design notes (why not alternatives):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,28 @@ from ..host.params import P as _P
 from ..host.params import R as _R
 
 MASK16 = np.uint32(0xFFFF)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def use_pallas() -> bool:
+    """True when the multiply inner loop should run as a Pallas kernel.
+
+    Default: on for TPU backends (where the XLA scan engine is ~100× off
+    VPU speed-of-light — see device/pallas_mont.py), off for CPU (tests).
+    Env overrides: TC_TPU_PALLAS=0 forces the XLA path, =1 forces Pallas
+    (interpreter mode unless on TPU hardware).
+    """
+    env = os.environ.get("TC_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return _on_tpu()
 
 
 class FpSpec:
@@ -122,9 +145,21 @@ def _carry_chain(cols):
     """Resolve u32 column accumulators into canonical 16-bit limbs.
 
     Returns (limbs[..., L], overflow[...]) where overflow is whatever carries
-    out of the top limb (may be > 1 for relaxed inputs).  Implemented as a
-    scan over the limb axis: tiny fixed graph regardless of L.
+    out of the top limb (may be > 1 for relaxed inputs).  On CPU this is a
+    scan over the limb axis (tiny fixed graph); on TPU it is unrolled so XLA
+    fuses the whole chain into one elementwise pass instead of L serial
+    micro-dispatches.
     """
+    if use_pallas():
+        L = cols.shape[-1]
+        c = jnp.zeros_like(cols[..., 0])
+        out = []
+        for j in range(L):
+            s = cols[..., j] + c
+            out.append(s & MASK16)
+            c = s >> 16
+        return jnp.stack(out, axis=-1), c
+
     x = jnp.moveaxis(cols, -1, 0)  # [L, ...]
 
     def body(c, col):
@@ -138,8 +173,22 @@ def _carry_chain(cols):
 def _sub_limbs(a, b):
     """a - b over 16-bit limbs. Returns (diff[..., L], borrow[...] in {0,1})."""
     big = jnp.uint32(1 << 16)
-    xa = jnp.moveaxis(jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape)), -1, 0)
-    xb = jnp.moveaxis(jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape)), -1, 0)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+
+    if use_pallas():
+        L = shape[-1]
+        borrow = jnp.zeros_like(a[..., 0])
+        out = []
+        for j in range(L):
+            d = a[..., j] + big - b[..., j] - borrow
+            out.append(d & MASK16)
+            borrow = jnp.uint32(1) - (d >> 16)
+        return jnp.stack(out, axis=-1), borrow
+
+    xa = jnp.moveaxis(a, -1, 0)
+    xb = jnp.moveaxis(b, -1, 0)
 
     def body(borrow, ab):
         ak, bk = ab
@@ -254,8 +303,17 @@ def _mont_mul_impl(spec: FpSpec, a, b):
     return select(take_d, d, limbs)
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def mul(spec: FpSpec, a, b):
+    """Montgomery product dispatch: Pallas kernel on TPU, XLA scan on CPU."""
+    if use_pallas():
+        from . import pallas_mont
+
+        return pallas_mont.mul(spec, a, b)
+    return _mul_xla(spec, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _mul_xla(spec: FpSpec, a, b):
     return _mont_mul_impl(spec, a, b)
 
 
@@ -301,8 +359,8 @@ def pow_fixed(spec: FpSpec, a, e: int):
     bits = jnp.asarray(_bits_msb(e), dtype=jnp.uint32)
 
     def body(acc, bit):
-        acc = _mont_mul_impl(spec, acc, acc)
-        with_mul = _mont_mul_impl(spec, acc, a)
+        acc = mul(spec, acc, acc)
+        with_mul = mul(spec, acc, a)
         acc = select(bit != 0, with_mul, acc)
         return acc, None
 
