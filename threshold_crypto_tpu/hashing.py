@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import hashlib
 
+from . import native
 from .backend import get_backend
 from .utils.rng import ChaChaRng
 
 
 def sha3_256(data: bytes) -> bytes:
+    out = native.sha3_256(bytes(data))
+    if out is not None:
+        return out
     return hashlib.sha3_256(bytes(data)).digest()
 
 
@@ -43,7 +47,12 @@ def hash_g1_g2(g1, msg: bytes):
 def xor_with_hash(g1, data: bytes) -> bytes:
     """XOR `data` with the pseudorandom stream keyed by g1
     (`src/lib.rs:710-715`)."""
-    digest = sha3_256(g1.to_compressed())
+    data = bytes(data)
+    key_material = g1.to_compressed()
+    out = native.xor_with_hash(key_material, data)  # fused C++ hot path
+    if out is not None:
+        return out
+    digest = sha3_256(key_material)
     rng = ChaChaRng.from_seed(digest)
     ks = rng.keystream_bytes(len(data))
     return bytes(a ^ b for a, b in zip(ks, data))
