@@ -87,6 +87,17 @@ def jax_reshape(aff, shape):
     return jax.tree_util.tree_map(r, aff)
 
 
+def test_cyclotomic_sqr_matches_generic_on_gt():
+    # pairing outputs live in the cyclotomic subgroup, where the
+    # Granger–Scott squaring must agree with the generic fq12_sqr
+    p = dpr.g1_affine_from_host([_g1(3), _g1(8)])
+    q = dpr.g2_affine_from_host([_g2(5), _g2(2)])
+    f = dpr.pairing(p, q)
+    got = dtw.fq12_to_host_batch(dtw.fq12_cyclo_sqr(f))
+    want = dtw.fq12_to_host_batch(dtw.fq12_sqr(f))
+    assert got == want
+
+
 def test_fused_miller_matches_driver():
     p = dpr.g1_affine_from_host([_g1(4), _g1(9)])
     q = dpr.g2_affine_from_host([_g2(7), None])

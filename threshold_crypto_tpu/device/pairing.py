@@ -248,15 +248,17 @@ def miller_loop_fused(p_aff, q_aff):
 # Final exponentiation (identical chain to the host oracle).
 # ---------------------------------------------------------------------------
 
-_jit_sqr12 = jax.jit(tw.fq12_sqr)
-_jit_sqr_mul12 = jax.jit(lambda a, b: tw.fq12_mul(tw.fq12_sqr(a), b))
+_jit_sqr12 = jax.jit(tw.fq12_cyclo_sqr)
+_jit_sqr_mul12 = jax.jit(lambda a, b: tw.fq12_mul(tw.fq12_cyclo_sqr(a), b))
 
 
 def _exp_by_x(f):
     """f^X in the cyclotomic subgroup (X < 0: conjugate at the end).
 
     MSB-first square-and-multiply over the static |X| bit pattern (weight 6:
-    63 squarings, 5 multiplies), dispatching two small jitted kernels."""
+    63 squarings, 5 multiplies), dispatching two small jitted kernels.
+    Squarings use Granger–Scott cyclotomic squaring (18 Fq products vs the
+    generic 54) — valid because every `_exp_by_x` input is post-easy-part."""
     result = f  # consumes the leading 1-bit
     for bit in X_BITS[1:]:
         if bit:
@@ -307,7 +309,7 @@ def _exp_by_x_fused(f):
     bits = jnp.asarray(X_BITS[1:], dtype=jnp.uint32)
 
     def body(acc, bit):
-        acc = tw.fq12_sqr(acc)
+        acc = tw.fq12_cyclo_sqr(acc)
         withm = tw.fq12_mul(acc, f)
         return tw.fq12_select(bit != 0, withm, acc), None
 

@@ -36,7 +36,7 @@ def _build_and_load():
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = [
-            "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            "g++", "-O3", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
             "-o", tmp, _SRC,
         ]
         try:
@@ -69,8 +69,12 @@ def _build_and_load():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
     ]
+    lib.tc_hash_g2.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p
+    ]
+    lib.tc_g2_random_from_seed.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.tc_native_abi_version.restype = ctypes.c_int
-    if lib.tc_native_abi_version() != 1:
+    if lib.tc_native_abi_version() != 2:
         return None
     return lib
 
@@ -107,6 +111,8 @@ def chacha20_words(seed: bytes, word_off: int, n_words: int) -> list | None:
     lib = _get()
     if lib is None:
         return None
+    if len(seed) != 32:  # C memcpy's exactly 32 bytes; mirror ChaChaRng
+        raise ValueError("ChaCha20 seed must be 32 bytes")
     buf = (ctypes.c_uint32 * n_words)()
     lib.tc_chacha20_words(bytes(seed), word_off, buf, n_words)
     return list(buf)
@@ -117,9 +123,44 @@ def chacha20_low_bytes(seed: bytes, word_off: int, n: int) -> bytes | None:
     lib = _get()
     if lib is None:
         return None
+    if len(seed) != 32:
+        raise ValueError("ChaCha20 seed must be 32 bytes")
     out = ctypes.create_string_buffer(n)
     lib.tc_chacha20_low_bytes(bytes(seed), word_off, out, n)
     return out.raw
+
+
+def _unpack_g2(raw: bytes):
+    x0 = int.from_bytes(raw[0:48], "big")
+    x1 = int.from_bytes(raw[48:96], "big")
+    y0 = int.from_bytes(raw[96:144], "big")
+    y1 = int.from_bytes(raw[144:192], "big")
+    return ((x0, x1), (y0, y1))
+
+
+def hash_g2(msg: bytes):
+    """Full reference hash_g2 chain (sha3 → ChaCha → G2 rejection sampling →
+    cofactor scaling) in one native call; returns a host affine G2 point
+    ((x0,x1),(y0,y1)) or None when the library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(192)
+    lib.tc_hash_g2(bytes(msg), len(msg), out)
+    return _unpack_g2(out.raw)
+
+
+def g2_random_from_seed(seed: bytes):
+    """G2::random(ChaChaRng::from_seed(seed)) — the sampling half of
+    hash_g2, for parity tests against host.sampling.g2_random."""
+    lib = _get()
+    if lib is None:
+        return None
+    if len(seed) != 32:
+        raise ValueError("ChaCha20 seed must be 32 bytes")
+    out = ctypes.create_string_buffer(192)
+    lib.tc_g2_random_from_seed(bytes(seed), out)
+    return _unpack_g2(out.raw)
 
 
 def xor_with_hash(key_material: bytes, data: bytes) -> bytes | None:
