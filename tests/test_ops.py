@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from threshold_crypto_tpu import ops
+from threshold_crypto_tpu.ops import threshold as tops
 from threshold_crypto_tpu.device import curve as dcv
 from threshold_crypto_tpu.device import pairing as dpr
 from threshold_crypto_tpu.host import curve as hcv
@@ -63,6 +64,22 @@ def test_lagrange_duplicate_and_zero_x_flagged():
     assert not bool(ok)
     _, ok = frops.lagrange_coeffs_at_zero(frops.fr_to_device([1, 2, 3]))
     assert bool(ok)
+
+
+def test_lagrange_scan_matches_matrix():
+    """The O(N)-memory scan form (large-N path) must equal the N×N matrix
+    form, including the duplicate/zero flags."""
+    xs = [rnd.randrange(1, R) for _ in range(37)]
+    dx = frops.fr_to_device(xs)
+    lam_m, ok_m = frops._lagrange_matrix(dx)
+    lam_s, ok_s = frops._lagrange_scan(dx)
+    assert bool(ok_m) and bool(ok_s)
+    assert frops.fr_from_device(lam_m) == frops.fr_from_device(lam_s)
+    # duplicate and zero-x detection parity
+    for bad in ([1, 5, 5, 9], [0, 2, 3, 4]):
+        dbad = frops.fr_to_device(bad)
+        assert not bool(frops._lagrange_scan(dbad)[1])
+        assert not bool(frops._lagrange_matrix(dbad)[1])
 
 
 def test_fr_plain_mont_roundtrip():
@@ -187,6 +204,36 @@ def test_derive_shares_matches_host_poly(sig_setup):
         ops.derive_shares(frops.fr_to_device(coeffs), frops.fr_to_device(xs))
     )
     assert got == sks
+
+
+def test_verify_sig_shares_rlc(sig_setup):
+    """Small-exponent batch verification: all-valid passes, one corrupt
+    share fails the aggregate check."""
+    _, _, h_host, _, sks, pk_host, sig_host = sig_setup
+    n = len(sks)
+    pk_aff = dpr.g1_affine_from_host(pk_host)
+    sig_aff = dpr.g2_affine_from_host(sig_host)
+    h_jac = dcv.G2.from_host_affine([h_host])
+    h1 = jax.tree_util.tree_map(lambda a: a[0], h_jac)
+    r = tops.rlc_exponents(n, b"test-seed")
+    assert bool(tops.verify_sig_shares_rlc(pk_aff, h1, sig_aff, r))
+
+    bad = list(sig_host)
+    bad[1] = hcv.G2.mul(h_host, 424242)
+    bad_aff = dpr.g2_affine_from_host(bad)
+    assert not bool(tops.verify_sig_shares_rlc(pk_aff, h1, bad_aff, r))
+
+
+def test_rlc_exponents_shape_and_determinism():
+    a = tops.rlc_exponents(5, b"s")
+    b = tops.rlc_exponents(5, b"s")
+    c = tops.rlc_exponents(5, b"t")
+    assert a.shape == (5, 16)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # only the low 64 bits (4 limbs) populated, and never zero
+    assert not np.asarray(a)[:, 4:].any()
+    assert np.asarray(a)[:, :4].any(axis=1).all()
 
 
 def test_scalar_mul_stepwise_matches_scan():

@@ -1,0 +1,241 @@
+"""Pallas megakernel tower vs the XLA tower (`device/tower.py`).
+
+The in-kernel tower code in `device/pallas_tower.py` is pure jnp over
+limb-major ``uint32[24, S, 128]`` values, so the math is tested here by
+calling it directly (fast XLA:CPU compiles); one interpreter-mode test then
+exercises the actual pallas_call plumbing (BlockSpecs, packing, grid).
+Full pairing-pipeline parity runs on TPU via bench/verify scripts and
+`tests/test_ops.py`.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threshold_crypto_tpu.device import mont
+from threshold_crypto_tpu.device import pairing as dpr
+from threshold_crypto_tpu.device import pallas_tower as ptw
+from threshold_crypto_tpu.device import tower as dtw
+from threshold_crypto_tpu.device.mont import FQ
+from threshold_crypto_tpu.host.params import P
+
+rnd = random.Random(0x7A11A5)
+N = 1024  # one (8, 128) block of lanes
+
+
+def rand_fq_host(n=N):
+    return [rnd.randrange(P) for _ in range(n)]
+
+
+def to_last(vals):
+    """Host ints -> uint32[N, 24] Montgomery limbs (public layout)."""
+    return jnp.asarray(mont.stack_mont(FQ, vals))
+
+
+def to_packed(vals):
+    """Host ints -> in-kernel (24, 8, 128) value."""
+    return ptw.pack([to_last(vals)], len(vals))
+
+
+def from_packed(x, n=N):
+    """(24, R, 128) -> host ints."""
+    return mont.unstack_mont(FQ, np.asarray(ptw.unpack(x, 1, n)[0]))
+
+
+def test_pack_unpack_roundtrip():
+    vals = rand_fq_host(300)  # deliberately not a multiple of 128
+    arr = to_last(vals)
+    packed = ptw.pack([arr], 300)
+    assert packed.shape == (24, 8, 128)
+    back = ptw.unpack(packed, 1, 300)[0]
+    assert np.array_equal(np.asarray(back), np.asarray(arr))
+
+
+def test_k_mul_matches_mont():
+    a, b = rand_fq_host(), rand_fq_host()
+    got = from_packed(ptw.k_mul(to_packed(a), to_packed(b)))
+    assert got == [(x * y) % P for x, y in zip(a, b)]
+
+
+def test_k_addsub_neg_small():
+    a, b = rand_fq_host(), rand_fq_host()
+    pa, pb = to_packed(a), to_packed(b)
+    assert from_packed(ptw.k_add(pa, pb)) == [(x + y) % P for x, y in zip(a, b)]
+    assert from_packed(ptw.k_sub(pa, pb)) == [(x - y) % P for x, y in zip(a, b)]
+    assert from_packed(ptw.k_neg(pa)) == [-x % P for x in a]
+    assert from_packed(ptw.k_small(pa, 8)) == [8 * x % P for x in a]
+    # zero stays zero under neg
+    z = to_packed([0] * N)
+    assert from_packed(ptw.k_neg(z)) == [0] * N
+
+
+def test_mul_many_chunking():
+    # more products than MAX_STACK forces the chunked path
+    k = ptw.MAX_STACK + 3
+    pairs_host = [(rand_fq_host(128), rand_fq_host(128)) for _ in range(k)]
+    pairs = [
+        (ptw.pack([to_last(a)], 128), ptw.pack([to_last(b)], 128))
+        for a, b in pairs_host
+    ]
+    outs = ptw.mul_many(pairs)
+    for (a, b), o in zip(pairs_host, outs):
+        got = mont.unstack_mont(FQ, np.asarray(ptw.unpack(o, 1, 128)[0]))
+        assert got == [(x * y) % P for x, y in zip(a, b)]
+
+
+def _rand12_last(n=N):
+    """Random fq12 in both layouts: (pytree of [n,24], packed (288,R,128))."""
+    comps_host = [rand_fq_host(n) for _ in range(12)]
+    comps = [to_last(c) for c in comps_host]
+    it = iter(comps)
+    tree = tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+    packed = ptw.pack(comps, n)
+    return tree, packed
+
+
+def _tree_eq(a, b):
+    la = [a[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+    lb = [b[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def _packed12_tree(packed, n=N):
+    comps = ptw.unpack(packed, 12, n)
+    it = iter(comps)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def _kernel12(packed):
+    """Packed fq12 -> in-kernel nested value (block view, R=8)."""
+    f = [packed[i * 24 : (i + 1) * 24] for i in range(12)]
+    it = iter(f)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def _kernel12_to_packed(f):
+    return jnp.concatenate(
+        [f[i][j][k] for i in range(2) for j in range(3) for k in range(2)],
+        axis=0,
+    )
+
+
+def test_fq12_mul_matches_tower():
+    ta, pa = _rand12_last()
+    tb, pb = _rand12_last()
+    got = _kernel12_to_packed(ptw.fq12_mul(_kernel12(pa), _kernel12(pb)))
+    want = dtw.fq12_mul(ta, tb)
+    assert _tree_eq(_packed12_tree(got), want)
+
+
+def test_fq12_sqr_and_cyclo_match_tower():
+    ta, pa = _rand12_last()
+    got = _kernel12_to_packed(ptw.fq12_sqr(_kernel12(pa)))
+    assert _tree_eq(_packed12_tree(got), dtw.fq12_sqr(ta))
+    got = _kernel12_to_packed(ptw.fq12_cyclo_sqr(_kernel12(pa)))
+    assert _tree_eq(_packed12_tree(got), dtw.fq12_cyclo_sqr(ta))
+
+
+def test_mul_by_014_matches_tower():
+    ta, pa = _rand12_last()
+    c_host = [rand_fq_host() for _ in range(6)]
+    c_last = [to_last(c) for c in c_host]
+    c0l, c1l, c4l = (c_last[0], c_last[1]), (c_last[2], c_last[3]), (c_last[4], c_last[5])
+    packed_c = [ptw.pack([c], N) for c in c_last]
+    c0p = (packed_c[0][:24], packed_c[1][:24])
+    c1p = (packed_c[2][:24], packed_c[3][:24])
+    c4p = (packed_c[4][:24], packed_c[5][:24])
+    got = _kernel12_to_packed(
+        ptw.fq12_mul_by_014(_kernel12(pa), c0p, c1p, c4p)
+    )
+    want = dtw.fq12_mul_by_014(ta, c0l, c1l, c4l)
+    assert _tree_eq(_packed12_tree(got), want)
+
+
+def _rand_fq2_pair(n=N):
+    c0, c1 = rand_fq_host(n), rand_fq_host(n)
+    last = (to_last(c0), to_last(c1))
+    packed = (ptw.pack([last[0]], n)[:24], ptw.pack([last[1]], n)[:24])
+    return last, packed
+
+
+def test_dbl_step_matches_pairing():
+    (Xl, Xp), (Yl, Yp), (Zl, Zp) = (
+        _rand_fq2_pair(), _rand_fq2_pair(), _rand_fq2_pair()
+    )
+    xpl = rand_fq_host()
+    ypl = rand_fq_host()
+    xp_last, yp_last = to_last(xpl), to_last(ypl)
+    xp_p = ptw.pack([xp_last], N)[:24]
+    yp_p = ptw.pack([yp_last], N)[:24]
+
+    To_p, (c0p, c1p, c4p) = ptw.dbl_step((Xp, Yp, Zp), xp_p, yp_p)
+    To_l, (c0l, c1l, c4l) = dpr._dbl_step((Xl, Yl, Zl), xp_last, yp_last)
+
+    for got, want in zip(To_p + (c0p, c1p, c4p), To_l + (c0l, c1l, c4l)):
+        for comp in range(2):
+            g = ptw.unpack(got[comp], 1, N)[0]
+            assert np.array_equal(np.asarray(g), np.asarray(want[comp]))
+
+
+def test_add_step_matches_pairing():
+    (Xl, Xp), (Yl, Yp), (Zl, Zp) = (
+        _rand_fq2_pair(), _rand_fq2_pair(), _rand_fq2_pair()
+    )
+    (x2l, x2p), (y2l, y2p) = _rand_fq2_pair(), _rand_fq2_pair()
+    xpl, ypl = rand_fq_host(), rand_fq_host()
+    xp_last, yp_last = to_last(xpl), to_last(ypl)
+    xp_p = ptw.pack([xp_last], N)[:24]
+    yp_p = ptw.pack([yp_last], N)[:24]
+
+    To_p, lines_p = ptw.add_step((Xp, Yp, Zp), (x2p, y2p), xp_p, yp_p)
+    To_l, lines_l = dpr._add_step((Xl, Yl, Zl), (x2l, y2l), xp_last, yp_last)
+
+    for got, want in zip(To_p + lines_p, To_l + lines_l):
+        for comp in range(2):
+            g = ptw.unpack(got[comp], 1, N)[0]
+            assert np.array_equal(np.asarray(g), np.asarray(want[comp]))
+
+
+@pytest.mark.slow
+def test_pallas_call_plumbing_interpret():
+    """One end-to-end pallas_call through the interpreter: kernel I/O,
+    BlockSpecs and multi-block grids behave like the direct jnp math.
+    Uses the lightest kernel (cyclotomic squaring, 2 engine instances) —
+    interpreter mode pays per element, so the heavier kernels are covered
+    by the direct-math tests above plus TPU runs."""
+    ptw.INTERPRET = True
+    try:
+        n = 2048  # 2 grid blocks
+        ta, pa = _rand12_last(n)
+        got = dpr._unpack12_tree(ptw.p_cyclo_sqr(pa))
+        want = dtw.fq12_cyclo_sqr(ta)
+        la = [got[i][j][k][:n] for i in range(2) for j in range(3) for k in range(2)]
+        lb = [want[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+        assert all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(la, lb)
+        )
+    finally:
+        ptw.INTERPRET = False
+
+
+def test_packed_helpers():
+    ta, pa = _rand12_last()
+    # conj on packed == tower conj
+    got = _packed12_tree(ptw.packed_conj12(pa))
+    assert _tree_eq(got, dtw.fq12_conj(ta))
+    # is_one detects exactly the identity
+    one_comps = [to_last([1] + [0] * (N - 1))] + [
+        to_last([0] * N) for _ in range(11)
+    ]
+    p_one = ptw.pack(one_comps, N)
+    ok = np.asarray(ptw.packed_is_one12(p_one))
+    assert ok[0] and not ok[1:].any()

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..host.params import B_G1, B_G2, G1_GEN, G2_GEN
 from . import mont
@@ -260,13 +261,9 @@ class DeviceCurve:
         return self.f.is_zero(p[2])
 
     # -- scalar multiplication ----------------------------------------------
-    def scalar_mul(self, p, k_limbs, nbits: int = 255):
-        """p · k, k as canonical (non-Montgomery) Fr limbs uint32[..., 16].
-
-        Fixed 255-iteration MSB-first double-and-add scan; per-lane bits
-        select between `acc` and `acc+base`, so arbitrary per-element
-        scalars cost the same as fixed ones.
-        """
+    def scalar_mul_naive(self, p, k_limbs, nbits: int = 255):
+        """p · k via the fixed 255-step double-and-add scan (reference shape;
+        kept as the cross-check for the windowed ladder below)."""
         f = self.f
         bits = scalar_bits(k_limbs, nbits)  # [nbits, ...] MSB-first
 
@@ -282,13 +279,58 @@ class DeviceCurve:
         out, _ = jax.lax.scan(body, init, bits)
         return out
 
-    def msm(self, points, scalars, nbits: int = 255):
-        """Σ points_i · scalars_i over the leading axis (shared-bitscan MSM).
+    def _window_table(self, p, w: int):
+        """Per-lane table [2^w, ...] of multiples 0·P .. (2^w−1)·P."""
+        f = self.f
+        tab = [self.infinity(f.shape(p[2])), p]
+        for i in range(2, 1 << w):
+            if i % 2 == 0:
+                tab.append(self.double(tab[i // 2]))
+            else:
+                tab.append(self.add(tab[i - 1], p))
+        return jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves, axis=0), *tab
+        )
 
-        One 255-step scan: per step the running total doubles once and each
-        point is conditionally accumulated via its own bit — an O(N·nbits)
-        Pallas-free baseline; bucketed MSM lives above this.
+    @staticmethod
+    def _table_select(table, digit):
+        """Gather each lane's chosen multiple: leaves [2^w, N..., L] by
+        per-lane digit [N...] -> [N..., L]."""
+
+        def sel(leaf):
+            idx = digit.astype(jnp.int32)[None, ..., None]
+            if leaf.ndim == 2:  # leaf [2^w, N] (e.g. nothing today; safety)
+                idx = idx[..., 0]
+            return jnp.take_along_axis(leaf, idx, axis=0)[0]
+
+        return jax.tree_util.tree_map(sel, table)
+
+    def scalar_mul(self, p, k_limbs, nbits: int = 255, window: int = 4):
+        """p · k with a fixed-window ladder: nbits doublings but only
+        nbits/window data-dependent adds (VERDICT r1 item 1; vs the
+        reference's per-bit add at `/root/reference/src/lib.rs:764`).
+
+        k as canonical (non-Montgomery) Fr limbs uint32[..., 16]; any batch
+        shape; constant-shape XLA program (digits drive lane-local table
+        gathers, never control flow).
         """
+        f = self.f
+        digits = scalar_digits(k_limbs, nbits, window)  # [D, ...] MSB-first
+        table = self._window_table(p, window)
+        init = self.infinity(f.shape(p[2]))
+
+        def body(acc, digit):
+            for _ in range(window):
+                acc = self.double(acc)
+            acc = self.add(acc, self._table_select(table, digit))
+            return acc, None
+
+        out, _ = jax.lax.scan(body, init, digits)
+        return out
+
+    def msm_naive(self, points, scalars, nbits: int = 255):
+        """Σ points_i · scalars_i via the shared 255-step bitscan (kept as
+        the windowed MSM's cross-check)."""
         f = self.f
         bits = scalar_bits(scalars, nbits)  # [nbits, N, ...]
 
@@ -310,6 +352,31 @@ class DeviceCurve:
         out, _ = jax.lax.scan(body, init, bits)
         return out
 
+    def msm(self, points, scalars, nbits: int = 255, window: int = 4):
+        """Σ points_i · scalars_i with per-point window tables: the running
+        total doubles `window`× per step, then accumulates ONE tree-sum of
+        per-lane table gathers — nbits/window cross-lane reductions instead
+        of nbits (the per-step work that dominates at large N).
+
+        The windowed analog of the reference's per-share loop at
+        `/root/reference/src/lib.rs:764`; the cross-lane tree-sum is the
+        bucket-accumulation step that sharded combines split over the mesh.
+        """
+        f = self.f
+        digits = scalar_digits(scalars, nbits, window)  # [D, N, ...]
+        table = self._window_table(points, window)  # [2^w, N, ...]
+        init = self.infinity(f.shape(points[2])[1:])
+
+        def body(acc, digit_row):
+            for _ in range(window):
+                acc = self.double(acc)
+            sel = self._table_select(table, digit_row)  # [N, ...]
+            acc = self.add(acc, _tree_sum(self, sel))
+            return acc, None
+
+        out, _ = jax.lax.scan(body, init, digits)
+        return out
+
     # -- stepwise (dispatch-per-bit) variants ---------------------------------
     # Same math as scalar_mul/msm, but driven from Python over one tiny
     # jitted step kernel instead of a single lax.scan program.  XLA compiles
@@ -317,39 +384,51 @@ class DeviceCurve:
     # compile-latency escape hatch for cold-start paths (dryrun, first use),
     # exactly like the pairing's host-driven `miller_loop`.
 
-    def scalar_mul_stepwise(self, p, k_limbs, nbits: int = 255):
+    def scalar_mul_stepwise(self, p, k_limbs, nbits: int = 255,
+                            window: int = 4):
         f = self.f
         if self._mul_step is None:
             @jax.jit
-            def step(acc, base, bit):
-                acc = self.double(acc)
-                added = self.add(acc, base)
-                return _select_pt(f, bit != 0, added, acc)
+            def step(acc, table, digit):
+                for _ in range(window):
+                    acc = self.double(acc)
+                return self.add(acc, self._table_select(table, digit))
 
-            self._mul_step = step
-        bits = scalar_bits(k_limbs, nbits)
+            @jax.jit
+            def build(p):
+                return self._window_table(p, window)
+
+            self._mul_step = (step, build)
+        step, build = self._mul_step
+        digits = scalar_digits(k_limbs, nbits, window)
+        table = build(p)
         acc = self.infinity(f.shape(p[2]))
-        for k in range(nbits):
-            acc = self._mul_step(acc, p, bits[k])
+        for k in range(digits.shape[0]):
+            acc = step(acc, table, digits[k])
         return acc
 
-    def msm_stepwise(self, points, scalars, nbits: int = 255):
+    def msm_stepwise(self, points, scalars, nbits: int = 255,
+                     window: int = 4):
         f = self.f
         if self._msm_step is None:
             @jax.jit
-            def step(acc, points, bit_row):
-                acc = self.double(acc)
-                sel = _select_pt(
-                    f, bit_row != 0, points,
-                    self.infinity(f.shape(points[2])),
-                )
+            def step(acc, table, digit_row):
+                for _ in range(window):
+                    acc = self.double(acc)
+                sel = self._table_select(table, digit_row)
                 return self.add(acc, _tree_sum(self, sel))
 
-            self._msm_step = step
-        bits = scalar_bits(scalars, nbits)
+            @jax.jit
+            def build(points):
+                return self._window_table(points, window)
+
+            self._msm_step = (step, build)
+        step, build = self._msm_step
+        digits = scalar_digits(scalars, nbits, window)
+        table = build(points)
         acc = self.infinity(f.shape(points[2])[1:])
-        for k in range(nbits):
-            acc = self._msm_step(acc, points, bits[k])
+        for k in range(digits.shape[0]):
+            acc = step(acc, table, digits[k])
         return acc
 
 
@@ -389,6 +468,21 @@ def scalar_bits(k_limbs, nbits: int):
     chunks = []
     for k in range(nbits - 1, -1, -1):
         chunks.append((k_limbs[..., k // 16] >> (k % 16)) & 1)
+    return jnp.stack(chunks, axis=0)
+
+
+def scalar_digits(k_limbs, nbits: int, window: int):
+    """uint32[..., L] canonical limbs -> uint32[D, ...] base-2^window digits,
+    MSB first, D = ⌈nbits/window⌉ (requires window | 16)."""
+    assert 16 % window == 0, "window must divide the 16-bit limb size"
+    ndig = -(-nbits // window)
+    mask = np.uint32((1 << window) - 1)
+    per_limb = 16 // window
+    chunks = []
+    for d in range(ndig - 1, -1, -1):
+        limb = d // per_limb
+        shift = (d % per_limb) * window
+        chunks.append((k_limbs[..., limb] >> shift) & mask)
     return jnp.stack(chunks, axis=0)
 
 

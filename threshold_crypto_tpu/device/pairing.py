@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..host.params import X_BITS
 from . import mont
+from . import pallas_tower as ptw
 from . import tower as tw
 from .mont import FQ
 
@@ -381,3 +382,198 @@ def multi_pairing(p_aff, q_aff):
 def pairing_check(p_aff, q_aff):
     """bool[...]: ∏ e(P_i, Q_i) == 1 over the leading pair axis."""
     return tw.fq12_is_one(multi_pairing(p_aff, q_aff))
+
+
+# ---------------------------------------------------------------------------
+# Pallas megakernel pipeline (round-2 fast path).
+#
+# Same math as the fused XLA path above, but every tower operation runs as
+# ONE Pallas kernel on the packed limb-major layout (device/pallas_tower.py):
+# ~560 in-program kernel dispatches per batch instead of ~10⁵ limb-level HLO
+# ops — which is what makes the fused program both compilable (<min vs tens
+# of minutes) and fast (state stays in VMEM within each tower op).
+# ---------------------------------------------------------------------------
+
+def _flatten_aff(aff):
+    """Affine pytree with any batch shape -> (flat comps [N,24], inf[N], n)."""
+    x, y, inf = aff
+    n = 1
+    for d in inf.shape:
+        n *= d
+    if isinstance(x, tuple):  # G2: x, y are fq2 pairs
+        comps = [
+            x[0].reshape(n, ptw.L), x[1].reshape(n, ptw.L),
+            y[0].reshape(n, ptw.L), y[1].reshape(n, ptw.L),
+        ]
+    else:  # G1
+        comps = [x.reshape(n, ptw.L), y.reshape(n, ptw.L)]
+    return comps, inf.reshape(n), n
+
+
+def _mask_rows(mask, n):
+    """bool[n] -> bool[R, 128] padded with False (packed-lane layout)."""
+    R = ptw.pack_rows(n)
+    m = mask.reshape(n)
+    if R * ptw.LANES != n:
+        m = jnp.pad(m, (0, R * ptw.LANES - n))
+    return m.reshape(R, ptw.LANES)
+
+
+def miller_loop_packed(p_packed, q_packed, R):
+    """Packed Miller loop: f_{|X|,Q}(P) pre-conjugation, all lanes live.
+
+    p_packed: (48, R, 128) [xp, yp]; q_packed: (96, R, 128) [x0,x1,y0,y1].
+    Returns packed fq12 (288, R, 128).  Zero-runs of |X| run as `lax.scan`
+    segments over the double-step body (small traced graph; same dispatch
+    count), with the five add-steps unrolled between them.
+    """
+    T = jnp.concatenate(
+        [q_packed, ptw.packed_one2(R)], axis=0
+    )  # (X, Y, Z=1) over fq2 -> 6 Fq planes sets
+    f = ptw.packed_one12(R)
+
+    def dbl_iter(carry, _):
+        f, T = carry
+        T, line = ptw.p_dbl_step(T, p_packed)
+        f = ptw.p_f_sqr_fold(f, line)
+        return (f, T), None
+
+    for n_zero, has_one in _zero_runs(X_BITS[1:]):
+        if n_zero:
+            (f, T), _ = jax.lax.scan(
+                dbl_iter, (f, T), None, length=n_zero
+            )
+        if has_one:
+            (f, T), _ = dbl_iter((f, T), None)
+            T, line = ptw.p_add_step(T, q_packed, p_packed)
+            f = ptw.p_f_fold(f, line)
+    return f
+
+
+def _unpack12_tree(f_packed):
+    """Packed fq12 -> limbs-last pytree over ALL R·128 lanes (padding kept)."""
+    R = f_packed.shape[1]
+    comps = ptw.unpack(f_packed, 12, R * ptw.LANES)
+    it = iter(comps)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def _pack12_tree(f):
+    comps = [f[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+    n = comps[0].shape[0]
+    return ptw.pack(comps, n)
+
+
+def _packed_frob(f_packed, power: int):
+    """Frobenius via the XLA tower (3×/final-exp; cheap at this frequency)."""
+    return _pack12_tree(tw.fq12_frob(_unpack12_tree(f_packed), power))
+
+
+def _expx_packed(f):
+    """f^X (X<0) in the cyclotomic subgroup on the packed layout.
+
+    Zero-runs of |X| scan over the cyclotomic-squaring kernel; the five
+    multiply steps are unrolled between segments."""
+
+    def sqr_iter(acc, _):
+        return ptw.p_cyclo_sqr(acc), None
+
+    acc = f
+    for n_zero, has_one in _zero_runs(X_BITS[1:]):
+        if n_zero:
+            acc, _ = jax.lax.scan(sqr_iter, acc, None, length=n_zero)
+        if has_one:
+            acc = ptw.p_cyclo_sqr(acc)
+            acc = ptw.p_fq12_mul(acc, f)
+    return ptw.packed_conj12(acc)
+
+
+def final_exponentiation_packed(f):
+    """Packed final exponentiation: easy part via the XLA tower (one Fermat
+    inversion), hard part via cyclotomic Pallas kernels.  Identical GT bits
+    to `final_exponentiation`."""
+    ft = _unpack12_tree(f)
+    x = tw.fq12_mul(tw.fq12_conj(ft), tw.fq12_inv(ft))
+    ft = tw.fq12_mul(tw.fq12_frob(x, 2), x)
+    f = _pack12_tree(ft)
+
+    t = ptw.p_fq12_mul(_expx_packed(f), ptw.packed_conj12(f))   # f^(X-1)
+    t = ptw.p_fq12_mul(_expx_packed(t), ptw.packed_conj12(t))   # ^(X-1)
+    t = ptw.p_fq12_mul(_expx_packed(t), _packed_frob(t, 1))     # ^(X+p)
+    tx2 = _expx_packed(_expx_packed(t))
+    t = ptw.p_fq12_mul(
+        ptw.p_fq12_mul(tx2, _packed_frob(t, 2)), ptw.packed_conj12(t)
+    )
+    f3 = ptw.p_fq12_mul(ptw.p_fq12_sqr(f), f)
+    return ptw.p_fq12_mul(t, f3)
+
+
+def pairing_check_pallas(p_aff, q_aff):
+    """bool[...]: ∏ e(P_i, Q_i) == 1 over the leading pair axis — the Pallas
+    megakernel pipeline.  Drop-in for `pairing_check`/`pairing_check_fused`.
+    """
+    k = p_aff[2].shape[0]
+    out_shape = p_aff[2].shape[1:]
+    pc, pinf, n = _flatten_aff(p_aff)
+    qc, qinf, _ = _flatten_aff(q_aff)
+    # n counts k·N flattened pair-lanes; per-pair lane count:
+    n_pair = n // k
+    R_pair = ptw.pack_rows(n_pair)
+
+    # pack each pair's lanes into its own block-aligned row band
+    def pack_pairs(comps):
+        bands = []
+        for i in range(k):
+            sl = [c.reshape(k, n_pair, ptw.L)[i] for c in comps]
+            bands.append(ptw.pack(sl, n_pair))
+        return jnp.concatenate(bands, axis=1)  # (n_comp·24, k·R_pair, 128)
+
+    p_packed = pack_pairs(pc)
+    q_packed = pack_pairs(qc)
+
+    f = miller_loop_packed(p_packed, q_packed, k * R_pair)
+    # X < 0: conjugate; infinity lanes contribute exactly 1
+    f = ptw.packed_conj12(f)
+    inf = (pinf | qinf).reshape(k, n_pair)
+    mask = jnp.concatenate(
+        [_mask_rows(inf[i], n_pair) for i in range(k)], axis=0
+    )
+    f = jnp.where(mask[None, :, :], ptw.packed_one12(k * R_pair), f)
+
+    # fold the k pair bands into one
+    acc = f[:, :R_pair]
+    for i in range(1, k):
+        acc = ptw.p_fq12_mul(acc, f[:, i * R_pair : (i + 1) * R_pair])
+
+    gt = final_exponentiation_packed(acc)
+    ok = ptw.packed_is_one12(gt)[:n_pair]
+    return ok.reshape(out_shape)
+
+
+def pairing_pallas(p_aff, q_aff):
+    """Reduced pairing per batch lane via the megakernel pipeline; returns
+    the same limbs-last fq12 pytree as `pairing` (bit-identical values)."""
+    pc, pinf, n = _flatten_aff(p_aff)
+    qc, qinf, _ = _flatten_aff(q_aff)
+    R = ptw.pack_rows(n)
+    p_packed = ptw.pack(pc, n)
+    q_packed = ptw.pack(qc, n)
+    f = miller_loop_packed(p_packed, q_packed, R)
+    f = ptw.packed_conj12(f)
+    mask = _mask_rows(pinf | qinf, n)
+    f = jnp.where(mask[None, :, :], ptw.packed_one12(R), f)
+    gt = final_exponentiation_packed(f)
+    tree = _unpack12_tree(gt)
+    shape = p_aff[2].shape
+    return jax.tree_util.tree_map(
+        lambda a: a[: int(np_prod(shape))].reshape(shape + (ptw.L,)), tree
+    )
+
+
+def np_prod(shape):
+    n = 1
+    for d in shape:
+        n *= d
+    return n

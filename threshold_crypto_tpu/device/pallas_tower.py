@@ -1,0 +1,765 @@
+"""Pallas megakernels for the BLS12-381 pairing tower (the round-2 fast path).
+
+Round 1 ran every tower operation as a *stacked* `pallas_mont.mul` call with
+XLA HLO glue between calls.  That leaves two structural costs the megakernels
+remove:
+
+* every Fq-multiply layer pays a boundary transpose (public ``[..., L]``
+  layout ↔ limb-major kernel layout) plus an HBM round trip for each add/sub
+  between layers;
+* the fused verify program carries ~10⁵ limb-level HLO ops, which costs XLA
+  tens of minutes of compile (VERDICT r1, Weak #2).
+
+Here one Pallas kernel = one *tower* operation (a Miller double-step, the
+f ← f²·line fold, a cyclotomic squaring, a full Fq12 multiply …).  Inside a
+kernel every field element is a ``uint32[24, S, 128]`` limb-major array
+(S = 8·k sublanes: 8 rows of 128 batch lanes per grid block, times the
+k-wide product stacking).  All independent Fq products of one formula layer
+are concatenated along the sublane axis and processed by ONE instance of the
+unrolled SOS Montgomery engine — so Mosaic sees ~6k vector ops per instance
+regardless of how many products it covers, and the whole working set stays
+in VMEM/registers between products.
+
+Data layout at the XLA boundary is "packed": ``uint32[n_planes, R, 128]``
+with n_planes = 24·(number of Fq components), R = ⌈batch/128⌉ rows padded to
+a multiple of 8.  Pack/unpack helpers convert from the public ``[..., 24]``
+limbs-last pytrees once per program, not once per multiply.
+
+The driver (`device/pairing.py: pairing_check_pallas`) sequences these
+kernels inside a single jit program: ~560 in-program kernel dispatches per
+fused verification batch, microseconds each — replacing round 1's ~700
+*Python-driven* dispatches at ~1ms each over the tunneled device link.
+
+Correctness: every kernel is asserted bit-identical to the XLA tower
+(`device/tower.py`, itself oracle-checked against `host/tower.py`) in
+tests/test_pallas_tower.py via interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mont import FQ
+
+MASK16 = np.uint32(0xFFFF)
+LANES = 128
+TILE_ROWS = 8  # sublane rows per grid block -> 1024 batch lanes per block
+L = FQ.L  # 24 limbs
+
+# Max Fq products per engine instance.  Bounds the engine's VMEM working set
+# (~96 planes × MAX_STACK × 4 KB ≈ 5.4 MB at 14) while keeping instruction
+# count per kernel at (#layers/MAX_STACK)·~6k.
+MAX_STACK = 14
+
+# Flipped by tests to run kernels through the Pallas interpreter on CPU.
+INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# In-kernel Fq primitives.  A value is uint32[24, S, 128]; S any multiple
+# of 8.  All helpers are pure jnp tracing code executed inside kernels.
+# ---------------------------------------------------------------------------
+
+_P_LIMBS = [np.uint32(v) for v in FQ.p_limbs]
+_N0INV = np.uint32(FQ.n0inv)
+_ONE_LIMBS = [
+    np.uint32((FQ.one_mont >> (16 * i)) & 0xFFFF) for i in range(L)
+]
+
+
+def _tree_sum(terms, zero):
+    """Pairwise-balanced sum (shallow adder trees for the VPU)."""
+    if not terms:
+        return zero
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def k_mul(a, b):
+    """Montgomery product on stacked values: SOS two-phase, bit-identical to
+    `pallas_mont._mul_kernel` (same column schedule, same carry bounds)."""
+    zero = jnp.zeros_like(a[0])
+    al = [a[i] for i in range(L)]
+    bl = [b[i] for i in range(L)]
+
+    # Phase 1: schoolbook product by columns.
+    T = []
+    carry = zero
+    for k in range(2 * L - 1):
+        prods = [
+            al[i] * bl[k - i]
+            for i in range(max(0, k - L + 1), min(k, L - 1) + 1)
+        ]
+        col = carry + _tree_sum([q & MASK16 for q in prods], zero)
+        hi = _tree_sum([q >> 16 for q in prods], zero)
+        T.append(col & MASK16)
+        carry = (col >> 16) + hi
+    T.append(carry & MASK16)
+
+    # Phase 2: interleaved Montgomery reduction.
+    m = []
+    carry = zero
+    U = []
+    for k in range(2 * L):
+        prods = [
+            m[i] * _P_LIMBS[k - i]
+            for i in range(max(0, k - L + 1), min(k, L - 1, len(m) - 1) + 1)
+        ]
+        col = T[k] + carry + _tree_sum([q & MASK16 for q in prods], zero)
+        hi = _tree_sum([q >> 16 for q in prods], zero)
+        if k < L:
+            mk = ((col & MASK16) * _N0INV) & MASK16
+            m.append(mk)
+            prod = mk * _P_LIMBS[0]
+            col = col + (prod & MASK16)
+            hi = hi + (prod >> 16)
+        else:
+            U.append(col & MASK16)
+        carry = (col >> 16) + hi
+    over = carry  # ∈ {0, 1}
+
+    # Conditional subtract of p.
+    big = np.uint32(1 << 16)
+    diff = []
+    borrow = zero
+    for j in range(L):
+        d = U[j] + big - _P_LIMBS[j] - borrow
+        diff.append(d & MASK16)
+        borrow = np.uint32(1) - (d >> 16)
+    take = (over != 0) | (borrow == 0)
+    return jnp.stack(
+        [jnp.where(take, diff[j], U[j]) for j in range(L)], axis=0
+    )
+
+
+def k_add(a, b):
+    """(a + b) mod p on stacked values (matches mont.add semantics)."""
+    zero = jnp.zeros_like(a[0])
+    s = []
+    carry = zero
+    for j in range(L):
+        c = a[j] + b[j] + carry
+        s.append(c & MASK16)
+        carry = c >> 16
+    over = carry
+    big = np.uint32(1 << 16)
+    d = []
+    borrow = zero
+    for j in range(L):
+        x = s[j] + big - _P_LIMBS[j] - borrow
+        d.append(x & MASK16)
+        borrow = np.uint32(1) - (x >> 16)
+    take = (over != 0) | (borrow == 0)
+    return jnp.stack([jnp.where(take, d[j], s[j]) for j in range(L)], axis=0)
+
+
+def k_sub(a, b):
+    zero = jnp.zeros_like(a[0])
+    big = np.uint32(1 << 16)
+    d = []
+    borrow = zero
+    for j in range(L):
+        x = a[j] + big - b[j] - borrow
+        d.append(x & MASK16)
+        borrow = np.uint32(1) - (x >> 16)
+    s = []
+    carry = zero
+    for j in range(L):
+        c = d[j] + _P_LIMBS[j] + carry
+        s.append(c & MASK16)
+        carry = c >> 16
+    take = borrow != 0
+    return jnp.stack([jnp.where(take, s[j], d[j]) for j in range(L)], axis=0)
+
+
+def k_neg(a):
+    zero_mask = _tree_sum([a[j] for j in range(L)], jnp.zeros_like(a[0])) == 0
+    big = np.uint32(1 << 16)
+    d = []
+    borrow = jnp.zeros_like(a[0])
+    for j in range(L):
+        x = _P_LIMBS[j] + big - a[j] - borrow
+        d.append(x & MASK16)
+        borrow = np.uint32(1) - (x >> 16)
+    return jnp.stack(
+        [jnp.where(zero_mask, jnp.zeros_like(a[0]), d[j]) for j in range(L)],
+        axis=0,
+    )
+
+
+def k_dbl(a):
+    return k_add(a, a)
+
+
+def k_small(a, k: int):
+    """a·k for tiny static k via an addition tree (mirrors mont.mul_small)."""
+    assert k >= 1
+    result = None
+    acc = a
+    while k:
+        if k & 1:
+            result = acc if result is None else k_add(result, acc)
+        k >>= 1
+        if k:
+            acc = k_add(acc, acc)
+    return result
+
+
+# -- stacking helpers --------------------------------------------------------
+
+def cat(vals):
+    """Concatenate k Fq values along the sublane axis -> one stacked value."""
+    if len(vals) == 1:
+        return vals[0]
+    return jnp.concatenate(vals, axis=1)
+
+
+def split(stacked, k):
+    """Inverse of cat for k equal pieces."""
+    if k == 1:
+        return [stacked]
+    s = stacked.shape[1] // k
+    return [stacked[:, i * s : (i + 1) * s] for i in range(k)]
+
+
+def mul_many(pairs):
+    """k independent Fq products via ⌈k/MAX_STACK⌉ engine instances."""
+    outs = []
+    for i in range(0, len(pairs), MAX_STACK):
+        chunk = pairs[i : i + MAX_STACK]
+        A = cat([p[0] for p in chunk])
+        B = cat([p[1] for p in chunk])
+        outs += split(k_mul(A, B), len(chunk))
+    return outs
+
+
+def add_many(pairs):
+    out = split(
+        k_add(cat([p[0] for p in pairs]), cat([p[1] for p in pairs])),
+        len(pairs),
+    )
+    return out
+
+
+def sub_many(pairs):
+    out = split(
+        k_sub(cat([p[0] for p in pairs]), cat([p[1] for p in pairs])),
+        len(pairs),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# In-kernel tower: fq2 = (fq, fq); fq6 = (fq2,)*3; fq12 = (fq6, fq6).
+# Formula-for-formula the same algebra as device/tower.py (Karatsuba fq2,
+# Toom-ish fq6, sparse 014 line products) so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+def fq2_add(a, b):
+    s = add_many([(a[0], b[0]), (a[1], b[1])])
+    return (s[0], s[1])
+
+
+def fq2_sub(a, b):
+    s = sub_many([(a[0], b[0]), (a[1], b[1])])
+    return (s[0], s[1])
+
+
+def fq2_neg(a):
+    n = split(k_neg(cat([a[0], a[1]])), 2)
+    return (n[0], n[1])
+
+
+def fq2_small(a, k: int):
+    t = split(k_small(cat([a[0], a[1]]), k), 2)
+    return (t[0], t[1])
+
+
+def mul_by_xi(a):
+    """(1+u)·a = (c0 − c1, c0 + c1)."""
+    return (k_sub(a[0], a[1]), k_add(a[0], a[1]))
+
+
+def fq2_mul_many(pairs):
+    """k fq2 Karatsuba products -> 3k Fq products through mul_many."""
+    k = len(pairs)
+    sums = add_many(
+        [(x[0], x[1]) for x, _ in pairs] + [(y[0], y[1]) for _, y in pairs]
+    )
+    sa, sb = sums[:k], sums[k:]
+    prods = mul_many(
+        [(x[0], y[0]) for x, y in pairs]
+        + [(x[1], y[1]) for x, y in pairs]
+        + list(zip(sa, sb))
+    )
+    t0, t1, t2 = prods[:k], prods[k : 2 * k], prods[2 * k :]
+    c0 = split(
+        k_sub(cat(t0), cat(t1)), k
+    )
+    c1 = split(
+        k_sub(k_sub(cat(t2), cat(t0)), cat(t1)), k
+    )
+    return [(c0[i], c1[i]) for i in range(k)]
+
+
+def fq2_scale_fq_many(pairs):
+    """k products (fq2 · fq scalar) -> 2k Fq products."""
+    k = len(pairs)
+    prods = mul_many(
+        [(a[0], s) for a, s in pairs] + [(a[1], s) for a, s in pairs]
+    )
+    return [(prods[i], prods[k + i]) for i in range(k)]
+
+
+def fq6_add(a, b):
+    s = add_many([(a[i][c], b[i][c]) for i in range(3) for c in range(2)])
+    return ((s[0], s[1]), (s[2], s[3]), (s[4], s[5]))
+
+
+def fq6_sub(a, b):
+    s = sub_many([(a[i][c], b[i][c]) for i in range(3) for c in range(2)])
+    return ((s[0], s[1]), (s[2], s[3]), (s[4], s[5]))
+
+
+def fq6_neg(a):
+    n = split(k_neg(cat([a[i][c] for i in range(3) for c in range(2)])), 6)
+    return ((n[0], n[1]), (n[2], n[3]), (n[4], n[5]))
+
+
+def _fq6_mul_parts(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    s = add_many(
+        [
+            (a1[0], a2[0]), (a1[1], a2[1]),
+            (a0[0], a1[0]), (a0[1], a1[1]),
+            (a0[0], a2[0]), (a0[1], a2[1]),
+            (b1[0], b2[0]), (b1[1], b2[1]),
+            (b0[0], b1[0]), (b0[1], b1[1]),
+            (b0[0], b2[0]), (b0[1], b2[1]),
+        ]
+    )
+    a12, a01, a02 = (s[0], s[1]), (s[2], s[3]), (s[4], s[5])
+    b12, b01, b02 = (s[6], s[7]), (s[8], s[9]), (s[10], s[11])
+    return [(a0, b0), (a1, b1), (a2, b2), (a12, b12), (a01, b01), (a02, b02)]
+
+
+def _fq6_mul_fin(t):
+    t0, t1, t2, m12, m01, m02 = t
+    c0 = fq2_add(t0, mul_by_xi(fq2_sub(m12, fq2_add(t1, t2))))
+    c1 = fq2_add(fq2_sub(m01, fq2_add(t0, t1)), mul_by_xi(t2))
+    c2 = fq2_add(fq2_sub(m02, fq2_add(t0, t2)), t1)
+    return (c0, c1, c2)
+
+
+def fq6_mul_by_v(a):
+    return (mul_by_xi(a[2]), a[0], a[1])
+
+
+def _sparse01_parts(a, b0, b1):
+    a0, a1, a2 = a
+    sa = fq2_add(a0, a1)
+    sb = fq2_add(b0, b1)
+    return [(a0, b0), (a1, b1), (a2, b1), (sa, sb), (a2, b0)]
+
+
+def _sparse01_fin(t):
+    t0, t1, t2b1, tss, t2b0 = t
+    c0 = fq2_add(t0, mul_by_xi(t2b1))
+    c1 = fq2_sub(tss, fq2_add(t0, t1))
+    c2 = fq2_add(t2b0, t1)
+    return (c0, c1, c2)
+
+
+def fq12_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    sa = fq6_add(a0, a1)
+    sb = fq6_add(b0, b1)
+    parts = (
+        _fq6_mul_parts(a0, b0)
+        + _fq6_mul_parts(a1, b1)
+        + _fq6_mul_parts(sa, sb)
+    )
+    t = fq2_mul_many(parts)
+    t0 = _fq6_mul_fin(t[0:6])
+    t1 = _fq6_mul_fin(t[6:12])
+    t3 = _fq6_mul_fin(t[12:18])
+    c0 = fq6_add(t0, fq6_mul_by_v(t1))
+    c1 = fq6_sub(t3, fq6_add(t0, t1))
+    return (c0, c1)
+
+
+def fq12_sqr(a):
+    a0, a1 = a
+    s = fq6_add(a0, a1)
+    sv = fq6_add(a0, fq6_mul_by_v(a1))
+    parts = _fq6_mul_parts(a0, a1) + _fq6_mul_parts(s, sv)
+    t = fq2_mul_many(parts)
+    tt = _fq6_mul_fin(t[0:6])
+    ss = _fq6_mul_fin(t[6:12])
+    c0 = fq6_sub(fq6_sub(ss, tt), fq6_mul_by_v(tt))
+    c1 = fq6_add(tt, tt)
+    return (c0, c1)
+
+
+def fq12_mul_by_014(f, c0, c1, c4):
+    f0, f1 = f
+    o = fq2_add(c1, c4)
+    sf = fq6_add(f0, f1)
+    parts01 = _sparse01_parts(f0, c0, c1)
+    parts4 = [(f1[2], c4), (f1[0], c4), (f1[1], c4)]
+    parts_s = _sparse01_parts(sf, c0, o)
+    t = fq2_mul_many(parts01 + parts4 + parts_s)
+    t0 = _sparse01_fin(t[0:5])
+    t1 = (mul_by_xi(t[5]), t[6], t[7])
+    t3 = _sparse01_fin(t[8:13])
+    c1out = fq6_sub(t3, fq6_add(t0, t1))
+    c0out = fq6_add(t0, fq6_mul_by_v(t1))
+    return (c0out, c1out)
+
+
+def fq12_cyclo_sqr(a):
+    """Granger–Scott cyclotomic squaring (mirrors tower.fq12_cyclo_sqr)."""
+    (z0, z4, z3), (z2, z1, z5) = a
+    sq_in = []
+    for x, y in ((z0, z1), (z2, z3), (z4, z5)):
+        xy = fq2_add(x, y)
+        for e in (x, y, xy):
+            sq_in.append(e)
+    sums = add_many([(e[0], e[1]) for e in sq_in])
+    difs = sub_many([(e[0], e[1]) for e in sq_in])
+    prods = mul_many(
+        list(zip(sums, difs)) + [(e[0], e[1]) for e in sq_in]
+    )
+    sqs = [(prods[i], k_dbl(prods[9 + i])) for i in range(9)]
+
+    def fp4(k):
+        t0sq, t1sq, ssq = sqs[3 * k], sqs[3 * k + 1], sqs[3 * k + 2]
+        c0 = fq2_add(mul_by_xi(t1sq), t0sq)
+        c1 = fq2_sub(fq2_sub(ssq, t0sq), t1sq)
+        return c0, c1
+
+    t0a, t1a = fp4(0)
+    t0b, t1b = fp4(1)
+    t0c, t1c = fp4(2)
+
+    def txmy(x, y):
+        d = fq2_sub(x, y)
+        return fq2_add(fq2_add(d, d), x)
+
+    def txpy(x, y):
+        s = fq2_add(x, y)
+        return fq2_add(fq2_add(s, s), x)
+
+    z0o = txmy(t0a, z0)
+    z1o = txpy(t1a, z1)
+    z4o = txmy(t0b, z4)
+    z5o = txpy(t1b, z5)
+    z2o = txpy(mul_by_xi(t1c), z2)
+    z3o = txmy(t0c, z3)
+    return ((z0o, z4o, z3o), (z2o, z1o, z5o))
+
+
+# ---------------------------------------------------------------------------
+# Miller-loop step formulas (mirror device/pairing._dbl_step/_add_step).
+# ---------------------------------------------------------------------------
+
+def dbl_step(T, xp, yp):
+    """T ← 2T; line (c0, c1, c4) evaluated at P=(xp, yp)."""
+    X, Y, Z = T
+    # layer 1
+    m1 = fq2_mul_many([(X, X), (Y, Y), (Y, Z), (X, Y), (Z, Z)])
+    XX, YY, S, XY, ZZ = m1
+    W = fq2_small(XX, 3)
+    # layer 2
+    m2 = fq2_mul_many(
+        [(XY, S), (W, W), (S, S), (XX, X), (YY, Z), (XX, Z), (Y, ZZ)]
+    )
+    B, WW, SS, XXX, YYZ, XXZ, YZZ = m2
+    H = fq2_sub(WW, fq2_small(B, 8))
+    # layer 3 (+ scalar scalings of the line coefficients)
+    m3 = fq2_mul_many(
+        [
+            (fq2_small(H, 2), S),
+            (W, fq2_sub(fq2_small(B, 4), H)),
+            (YY, SS),
+            (S, SS),
+        ]
+    )
+    Xo, Wterm, YYSS, SSS = m3
+    sc = fq2_scale_fq_many(
+        [(fq2_neg(fq2_small(XXZ, 3)), xp), (fq2_small(YZZ, 2), yp)]
+    )
+    c1, c4 = sc
+    Yo = fq2_sub(Wterm, fq2_small(YYSS, 8))
+    Zo = fq2_small(SSS, 8)
+    c0 = fq2_sub(fq2_small(XXX, 3), fq2_small(YYZ, 2))
+    return (Xo, Yo, Zo), (c0, c1, c4)
+
+
+def add_step(T, Q, xp, yp):
+    """T ← T + Q (Q affine); chord line through T, Q at P."""
+    X, Y, Z = T
+    x2, y2 = Q
+    m1 = fq2_mul_many([(y2, Z), (x2, Z)])
+    u = fq2_sub(m1[0], Y)
+    v = fq2_sub(m1[1], X)
+    m2 = fq2_mul_many([(v, v), (u, u), (u, x2), (v, y2)])
+    vv, uu, ux2, vy2 = m2
+    sc = fq2_scale_fq_many([(fq2_neg(u), xp), (v, yp)])
+    c1, c4 = sc
+    c0 = fq2_sub(ux2, vy2)
+    m3 = fq2_mul_many([(v, vv), (vv, X), (uu, Z)])
+    vvv, Rr, uuZ = m3
+    A = fq2_sub(fq2_sub(uuZ, vvv), fq2_small(Rr, 2))
+    m4 = fq2_mul_many([(v, A), (u, fq2_sub(Rr, A)), (vvv, Y), (vvv, Z)])
+    Xo = m4[0]
+    Yo = fq2_sub(m4[1], m4[2])
+    Zo = m4[3]
+    return (Xo, Yo, Zo), (c0, c1, c4)
+
+
+# ---------------------------------------------------------------------------
+# Packing: public limbs-last pytrees <-> packed uint32[n_planes, R, 128].
+# Plane order: flattened component order × 24 limbs each.
+# ---------------------------------------------------------------------------
+
+def pack_rows(n: int) -> int:
+    """Padded row count for an n-lane batch (rows of 128, blocks of 8)."""
+    rows = -(-n // LANES)
+    return -(-rows // TILE_ROWS) * TILE_ROWS
+
+
+def pack(comps, n: int):
+    """List of uint32[n, 24] component arrays -> packed [k·24, R, 128]."""
+    R = pack_rows(n)
+    padded = []
+    for c in comps:
+        c = c.reshape(n, L)
+        if R * LANES != n:
+            c = jnp.pad(c, ((0, R * LANES - n), (0, 0)))
+        padded.append(c.T.reshape(L, R, LANES))
+    return jnp.concatenate(padded, axis=0)
+
+
+def unpack(packed, k: int, n: int):
+    """Packed [k·24, R, 128] -> list of uint32[n, 24] component arrays."""
+    R = packed.shape[1]
+    out = []
+    for i in range(k):
+        c = packed[i * L : (i + 1) * L].reshape(L, R * LANES).T
+        out.append(c[:n])
+    return out
+
+
+def read_fqs(ref, k: int):
+    """Kernel-side: block ref [k·24, 8, 128] -> list of k Fq values."""
+    return [ref[i * L : (i + 1) * L] for i in range(k)]
+
+
+def write_fqs(ref, vals):
+    ref[:] = jnp.concatenate(vals, axis=0)
+
+
+# fq12 component order used throughout: c[i][j][k] for i∈2, j∈3, k∈2.
+def read_fq12(ref):
+    f = read_fqs(ref, 12)
+    it = iter(f)
+    return tuple(
+        tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
+    )
+
+
+def flat12(f):
+    return [f[i][j][k] for i in range(2) for j in range(3) for k in range(2)]
+
+
+# ---------------------------------------------------------------------------
+# Kernels.  All take/return packed arrays; grid over row blocks of 8.
+# ---------------------------------------------------------------------------
+
+def _block(n_planes):
+    return pl.BlockSpec(
+        (n_planes, TILE_ROWS, LANES), lambda g: (0, g, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _call(kernel, in_planes, out_planes, args):
+    R = args[0].shape[1]
+    grid = R // TILE_ROWS
+    outs = [
+        jax.ShapeDtypeStruct((p, R, LANES), jnp.uint32) for p in out_planes
+    ]
+    res = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[_block(p) for p in in_planes],
+        out_specs=[_block(p) for p in out_planes]
+        if len(out_planes) > 1
+        else _block(out_planes[0]),
+        out_shape=outs if len(out_planes) > 1 else outs[0],
+        interpret=INTERPRET,
+    )(*args)
+    return res
+
+
+def _k_dbl_step(T_ref, p_ref, To_ref, line_ref):
+    t = read_fqs(T_ref, 6)
+    xp, yp = read_fqs(p_ref, 2)
+    T = ((t[0], t[1]), (t[2], t[3]), (t[4], t[5]))
+    To, (c0, c1, c4) = dbl_step(T, xp, yp)
+    write_fqs(To_ref, [To[0][0], To[0][1], To[1][0], To[1][1], To[2][0], To[2][1]])
+    write_fqs(line_ref, [c0[0], c0[1], c1[0], c1[1], c4[0], c4[1]])
+
+
+def _k_add_step(T_ref, q_ref, p_ref, To_ref, line_ref):
+    t = read_fqs(T_ref, 6)
+    q = read_fqs(q_ref, 4)
+    xp, yp = read_fqs(p_ref, 2)
+    T = ((t[0], t[1]), (t[2], t[3]), (t[4], t[5]))
+    Q = ((q[0], q[1]), (q[2], q[3]))
+    To, (c0, c1, c4) = add_step(T, Q, xp, yp)
+    write_fqs(To_ref, [To[0][0], To[0][1], To[1][0], To[1][1], To[2][0], To[2][1]])
+    write_fqs(line_ref, [c0[0], c0[1], c1[0], c1[1], c4[0], c4[1]])
+
+
+def _k_f_sqr_fold(f_ref, line_ref, fo_ref):
+    f = read_fq12(f_ref)
+    ln = read_fqs(line_ref, 6)
+    c0, c1, c4 = (ln[0], ln[1]), (ln[2], ln[3]), (ln[4], ln[5])
+    f = fq12_mul_by_014(fq12_sqr(f), c0, c1, c4)
+    write_fqs(fo_ref, flat12(f))
+
+
+def _k_f_fold(f_ref, line_ref, fo_ref):
+    f = read_fq12(f_ref)
+    ln = read_fqs(line_ref, 6)
+    c0, c1, c4 = (ln[0], ln[1]), (ln[2], ln[3]), (ln[4], ln[5])
+    f = fq12_mul_by_014(f, c0, c1, c4)
+    write_fqs(fo_ref, flat12(f))
+
+
+def _k_cyclo_sqr(f_ref, fo_ref):
+    write_fqs(fo_ref, flat12(fq12_cyclo_sqr(read_fq12(f_ref))))
+
+
+def _k_fq12_mul(a_ref, b_ref, fo_ref):
+    write_fqs(fo_ref, flat12(fq12_mul(read_fq12(a_ref), read_fq12(b_ref))))
+
+
+def _k_fq12_sqr(a_ref, fo_ref):
+    write_fqs(fo_ref, flat12(fq12_sqr(read_fq12(a_ref))))
+
+
+# -- public per-kernel entry points on packed arrays -------------------------
+# jit-wrapped: repeated call sites (63 Miller iterations, 6×63 hard-part
+# squarings...) reuse one cached trace per shape instead of re-tracing the
+# ~10⁴-op kernel body at every site.
+
+@jax.jit
+def p_dbl_step(T, p):
+    To, line = _call(_k_dbl_step, [6 * L, 2 * L], [6 * L, 6 * L], [T, p])
+    return To, line
+
+
+@jax.jit
+def p_add_step(T, q, p):
+    To, line = _call(
+        _k_add_step, [6 * L, 4 * L, 2 * L], [6 * L, 6 * L], [T, q, p]
+    )
+    return To, line
+
+
+@jax.jit
+def p_f_sqr_fold(f, line):
+    return _call(_k_f_sqr_fold, [12 * L, 6 * L], [12 * L], [f, line])
+
+
+@jax.jit
+def p_f_fold(f, line):
+    return _call(_k_f_fold, [12 * L, 6 * L], [12 * L], [f, line])
+
+
+@jax.jit
+def p_cyclo_sqr(f):
+    return _call(_k_cyclo_sqr, [12 * L], [12 * L], [f])
+
+
+@jax.jit
+def p_fq12_mul(a, b):
+    return _call(_k_fq12_mul, [12 * L, 12 * L], [12 * L], [a, b])
+
+
+@jax.jit
+def p_fq12_sqr(a):
+    return _call(_k_fq12_sqr, [12 * L], [12 * L], [a])
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout constants / small XLA-level helpers used by the driver.
+# ---------------------------------------------------------------------------
+
+def packed_one12(R: int):
+    """Packed fq12 one: component 0 = Montgomery 1, rest zero."""
+    one_col = jnp.asarray(
+        np.array(
+            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
+        )
+    )[:, None, None]
+    planes = [jnp.broadcast_to(one_col, (L, R, LANES))] + [
+        jnp.zeros((11 * L, R, LANES), jnp.uint32)
+    ]
+    return jnp.concatenate(planes, axis=0)
+
+
+def packed_one2(R: int):
+    """Packed fq2 one (2 Fq components: Montgomery 1, zero)."""
+    one_col = jnp.asarray(
+        np.array(
+            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
+        )
+    )[:, None, None]
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(one_col, (L, R, LANES)),
+            jnp.zeros((L, R, LANES), jnp.uint32),
+        ],
+        axis=0,
+    )
+
+
+def packed_is_one12(f):
+    """bool[R·128]: packed fq12 == 1 per lane."""
+    R = f.shape[1]
+    want = packed_one12(R)
+    return jnp.all(f == want, axis=0).reshape(R * LANES)
+
+
+def packed_conj12(f):
+    """Conjugate (negate the c1 fq6 half) on the packed layout.
+
+    Mirrors mont.neg limb semantics via an XLA-level pass over 6 Fq
+    components (cheap: once per exp-by-x call)."""
+    from . import mont as _m
+
+    R = f.shape[1]
+    c0, c1 = f[: 6 * L], f[6 * L :]
+    # reshape planes -> [6, L, R, 128] -> limbs-last for mont.neg
+    x = c1.reshape(6, L, R, LANES)
+    x = jnp.moveaxis(x, 1, -1)  # [6, R, 128, L]
+    x = _m.neg(_m.FQ, x)
+    x = jnp.moveaxis(x, -1, 1).reshape(6 * L, R, LANES)
+    return jnp.concatenate([c0, x], axis=0)

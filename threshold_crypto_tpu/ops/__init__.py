@@ -31,7 +31,10 @@ from .threshold import (  # noqa: F401
     derive_shares,
     jacobian_to_affine,
     sign_batch,
+    rlc_exponents,
     verify_batch,
+    verify_batch_pallas,
     verify_batch_stepwise,
+    verify_sig_shares_rlc,
     verify_dec_share_batch,
 )

@@ -100,6 +100,11 @@ def _prod_leading(a):
     return a[0]
 
 
+# Above this share count the N×N difference matrix is replaced by an O(N)-
+# memory scan (same O(N²) field work as the reference's per-share loop).
+_LAGRANGE_MATRIX_MAX = 1024
+
+
 def lagrange_coeffs_at_zero(xs):
     """λ_i = Π_{j≠i} x_j / (x_j − x_i) for a batch of distinct x's.
 
@@ -108,10 +113,22 @@ def lagrange_coeffs_at_zero(xs):
     conditions the reference reports as DuplicateEntry via a failed inverse
     (`/root/reference/src/lib.rs:754-763`).
 
-    Vectorization: the N×N difference matrix replaces the reference's
-    prefix/suffix product trick; one Montgomery-trick `batch_inv` replaces
-    N separate extended-Euclid inversions.
+    Two shapes of the same math, both ending in ONE Montgomery-trick
+    `batch_inv` (vs the reference's N extended-Euclid inversions):
+
+    * N ≤ 1024: the N×N difference matrix, fully data-parallel;
+    * N > 1024: a `lax.scan` over j accumulating den_i ·= (x_j − x_i) —
+      O(N) memory, so t=4095+ combines never materialize N² limbs
+      (the reference's own denominator loop shape,
+      `/root/reference/src/lib.rs:754-763`).
     """
+    n = xs.shape[0]
+    if n <= _LAGRANGE_MATRIX_MAX:
+        return _lagrange_matrix(xs)
+    return _lagrange_scan(xs)
+
+
+def _lagrange_matrix(xs):
     n = xs.shape[0]
     # numerator_i = Π_j x_j  (including x_i; divided out through den below)
     prod_all = _prod_leading(xs)
@@ -128,6 +145,27 @@ def lagrange_coeffs_at_zero(xs):
 
     # den_i = x_i * Π_{j≠i}(x_j − x_i); λ_i = prod_all / den_i
     den = mont.mul(FR, xs, row_prod)
+    zero_x = jnp.any(mont.is_zero(FR, xs))
+    den_inv = mont.batch_inv(FR, den)
+    lam = mont.mul(FR, jnp.broadcast_to(prod_all, den_inv.shape), den_inv)
+    return lam, ~(dup | zero_x)
+
+
+def _lagrange_scan(xs):
+    n = xs.shape[0]
+    prod_all = _prod_leading(xs)
+    ones = jnp.broadcast_to(mont.one(FR), (n, FR.L))
+
+    def body(carry, xj):
+        den, dup = carry
+        diff = mont.sub(FR, xj[None, :], xs)  # (x_j − x_i) for all i
+        iszero = mont.is_zero(FR, diff)  # one hit (i == j) unless duplicates
+        dup = dup | (jnp.sum(iszero) > 1)
+        den = mont.mul(FR, den, mont.select(iszero, ones, diff))
+        return (den, dup), None
+
+    (den, dup), _ = jax.lax.scan(body, (ones, jnp.bool_(False)), xs)
+    den = mont.mul(FR, xs, den)
     zero_x = jnp.any(mont.is_zero(FR, xs))
     den_inv = mont.batch_inv(FR, den)
     lam = mont.mul(FR, jnp.broadcast_to(prod_all, den_inv.shape), den_inv)

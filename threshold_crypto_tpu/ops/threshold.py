@@ -108,6 +108,17 @@ def verify_batch(pk_aff, h_aff, sig_aff):
     return dpr.pairing_check_fused(p, q)
 
 
+def verify_batch_pallas(pk_aff, h_aff, sig_aff):
+    """`verify_batch` through the Pallas megakernel pipeline
+    (`device/pairing.pairing_check_pallas`): one jit-able program of ~560
+    in-program tower-kernel dispatches — the TPU fast path (compiles in
+    ~a minute cold vs tens of minutes for the HLO-level fused program)."""
+    n = pk_aff[2].shape[0]
+    p = _pair2(pk_aff, _neg_gen_g1((n,)))
+    q = _pair2(h_aff, sig_aff)
+    return dpr.pairing_check_pallas(p, q)
+
+
 def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
     """`verify_batch` driven over small jitted step kernels (host-driven
     Miller loop + phase-wise final exponentiation): same results, a fraction
@@ -117,6 +128,70 @@ def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
     p = _pair2(pk_aff, _neg_gen_g1((n,)))
     q = _pair2(h_aff, sig_aff)
     return dpr.pairing_check(p, q)
+
+
+def verify_sig_shares_rlc(pk_aff, h_jac, sig_aff, r_plain):
+    """Probabilistic batch verification of N signature shares on ONE message:
+    e(Σ rᵢ·pkᵢ, H) == e(G1, Σ rᵢ·sigᵢ) with random small exponents rᵢ.
+
+    The standard small-exponent batch-verification trick: if any share is
+    invalid the check fails except with probability 2⁻ᵇ (b = bit length of
+    the rᵢ; use ≥64 bits drawn from a PRF the prover cannot predict).  This
+    is the TPU-native throughput path for the threshold protocol's dominant
+    verification pattern — all N share signatures are over the *same*
+    message hash (`/root/reference/src/lib.rs:177-179` called in a loop) —
+    trading 2N pairings for two 64-bit MSMs and ONE 2-pair product check.
+
+    pk_aff: G1 affine pytree [N]; h_jac: the shared hash point as a G2
+    Jacobian pytree (unbatched); sig_aff: G2 affine pytree [N];
+    r_plain: uint32[N, 16] canonical Fr limbs with only low 64 bits set.
+    Returns bool[] (scalar): True iff the aggregate check passes.
+    """
+    pk_jac = affine_to_jacobian(dcv.G1, pk_aff)
+    sig_jac = affine_to_jacobian(dcv.G2, sig_aff)
+    agg_pk = dcv.G1.msm(pk_jac, r_plain, nbits=64)
+    agg_sig = dcv.G2.msm(sig_jac, r_plain, nbits=64)
+    pk1 = jax.tree_util.tree_map(lambda a: a[None], agg_pk)
+    sg1 = jax.tree_util.tree_map(lambda a: a[None], agg_sig)
+    pk_a = jacobian_to_affine(dcv.G1, pk1)
+    sig_a = jacobian_to_affine(dcv.G2, sg1)
+    # accept the shared hash point unbatched ([24]-leaves) or as a [1]-batch
+    h1 = jax.tree_util.tree_map(
+        lambda a: a if a.ndim == 2 else a[None], h_jac
+    )
+    h_a = jacobian_to_affine(dcv.G2, h1)
+    p = _pair2(pk_a, _neg_gen_g1((1,)))
+    q = _pair2(h_a, sig_a)
+    check = (
+        dpr.pairing_check_pallas if mont.use_pallas()
+        else dpr.pairing_check_fused
+    )
+    return check(p, q)[0]
+
+
+def rlc_exponents(n: int, seed: bytes):
+    """Deterministic 64-bit batch-verification exponents from a seed.
+
+    Derived with ChaCha20 keyed by SHA3-256(seed ‖ n) — a PRF over
+    verifier-chosen input, so a malicious share-holder cannot bias them.
+    Returns uint32[n, 16] canonical Fr limbs (low 64 bits populated, never
+    zero: a zero exponent would drop a share from the check entirely).
+    """
+    import numpy as _np
+
+    from .. import hashing
+    from ..utils.rng import ChaChaRng
+
+    digest = hashing.sha3_256(bytes(seed) + n.to_bytes(8, "little"))
+    rng = ChaChaRng.from_seed(digest)
+    out = _np.zeros((n, 16), _np.uint32)
+    for i in range(n):
+        v = 0
+        while v == 0:
+            v = rng.next_u64()
+        for limb in range(4):
+            out[i, limb] = (v >> (16 * limb)) & 0xFFFF
+    return jnp.asarray(out)
 
 
 def verify_dec_share_batch(share_aff, huv_aff, pk_aff, w_aff):

@@ -57,42 +57,41 @@ def sharded_combine(mesh, curve: dcv.DeviceCurve, shares_jac, xs_mont,
     shares_jac sharded on the batch axis; xs_mont replicated (it is tiny —
     [N, 16] u32 — and every shard needs all x's for its λ's).
 
+    Partitioning is GSPMD-style: the batch is reshaped to
+    [n_dev, N/n_dev], a sharding constraint pins the leading axis to the
+    mesh, and `vmap(curve.msm)` computes per-device partial MSMs with zero
+    communication; the final log-tree point reduction over the n_dev
+    partials is where XLA inserts the ICI collectives.  (This replaces the
+    round-1 shard_map body that needed `check_vma=False` — the generic
+    curve kernels freely mix replicated constants with sharded data, which
+    GSPMD propagates but shard_map's varying-axis typing rejects.)
+
     Returns (point pytree, ok[]) exactly like `ops.combine_batch`.
     """
     n_dev = mesh.devices.size
-
-    def local(shares_local, lam_local):
-        # [N/n_dev] points × λ's -> one local partial sum
-        partial = curve.msm(shares_local, lam_local)
-        # exchange partials over ICI; every device ends with all n_dev
-        partial_b = jax.tree_util.tree_map(
-            lambda a: jax.lax.all_gather(a, axis), partial
+    n = xs_mont.shape[0]
+    if n % n_dev:
+        raise ValueError(
+            f"combine batch ({n}) must divide the mesh ({n_dev} devices); "
+            "pad shares with λ=0 lanes to align"
         )
-        # tiny replicated tail reduction: n_dev-1 point adds
-        acc = jax.tree_util.tree_map(lambda a: a[0], partial_b)
-        for i in range(1, n_dev):
-            nxt = jax.tree_util.tree_map(lambda a: a[i], partial_b)
-            acc = curve.add(acc, nxt)
-        return acc
+    shard = NamedSharding(mesh, P(axis))
 
     @jax.jit
     def fn(shares_jac, xs_mont):
         lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
         lam_plain = frops.fr_to_plain(lam_mont)
-        out = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(batch_spec(shares_jac, axis), P(axis)),
-            # the local output is one point with the same treedef as the
-            # batched input, fully replicated after the all_gather
-            out_specs=jax.tree_util.tree_map(lambda _: P(), shares_jac),
-            # the generic curve kernels mix shard-varying data with
-            # replicated constants (scan carries seeded from broadcast
-            # generator limbs); skip the varying-axes type check rather
-            # than thread pcast through shared code
-            check_vma=False,
-        )(shares_jac, lam_plain)
-        return out, ok
+
+        def resh(a):
+            return a.reshape((n_dev, n // n_dev) + a.shape[1:])
+
+        shares_r = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(resh(a), shard),
+            shares_jac,
+        )
+        lam_r = resh(lam_plain)
+        partials = jax.vmap(curve.msm)(shares_r, lam_r)  # [n_dev] points
+        return dcv._tree_sum(curve, partials), ok
 
     with mesh:
         return fn(shares_jac, xs_mont)
