@@ -5,14 +5,16 @@
 # Stages:
 #   lint   — syntax/bytecode check of every module (no external linters in
 #            this environment).
-#   fast   — protocol suite on the host + mock backends and the native
-#            runtime (seconds; the edit-loop gate).
-#   full   — everything, including the device (JAX) engines on an 8-virtual-
-#            device CPU mesh.  Compile-heavy: first cold run populates
-#            /tmp/jax_cache; warm reruns take a few minutes.
-#   dryrun — the multi-chip sharding entry point the driver exercises.
+#   fast   — protocol suite on the host + mock backends, the native runtime,
+#            and the golden wire vectors (seconds; the edit-loop gate).
+#   full   — default pytest tier: everything except tests marked `slow`
+#            (pytest.ini deselects them), plus the multi-chip dryrun.
+#            Finishes cold in well under 30 minutes on a small host.
+#   deep   — the slow tier too: compile-heavy device suites (XLA:CPU
+#            pairing / scalar-mul graphs; hours cold on a 2-core box, use a
+#            warm /tmp/jax_cache).
 #
-# Usage: ./ci.sh [fast|full]   (default: full)
+# Usage: ./ci.sh [fast|full|deep]   (default: full)
 
 set -e
 cd "$(dirname "$0")"
@@ -21,18 +23,23 @@ MODE="${1:-full}"
 echo "== lint: compileall =="
 python -m compileall -q threshold_crypto_tpu tests examples benches bench.py __graft_entry__.py
 
-echo "== fast: protocol + native suites =="
+echo "== fast: protocol + native + golden-vector suites =="
 python -m pytest tests/test_rng_and_mock.py tests/test_poly.py \
     tests/test_host_math.py tests/test_threshold.py tests/test_serde.py \
-    tests/test_native.py -q
+    tests/test_native.py tests/test_vectors.py -q
 
-if [ "$MODE" = "full" ]; then
-  echo "== full: device engine suites (compile-heavy) =="
+if [ "$MODE" = "full" ] || [ "$MODE" = "deep" ]; then
+  echo "== full: default tier (slow-marked device suites deselected) =="
   python -m pytest tests/ -q
 
   echo "== dryrun: 8-virtual-device sharded step =="
   JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
     python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun ok')"
+fi
+
+if [ "$MODE" = "deep" ]; then
+  echo "== deep: slow tier (compile-heavy device suites) =="
+  python -m pytest tests/ -q -m slow
 fi
 
 echo "CI ($MODE) passed."

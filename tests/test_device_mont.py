@@ -5,6 +5,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy device path (see pytest.ini)
+
 from threshold_crypto_tpu.device import mont
 from threshold_crypto_tpu.host.params import P, R
 

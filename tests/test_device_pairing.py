@@ -10,6 +10,11 @@ from threshold_crypto_tpu.host import curve as hcv
 from threshold_crypto_tpu.host import pairing as hpr
 from threshold_crypto_tpu.host.params import R
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy device path (see pytest.ini)
+
+
 rnd = random.Random(0xA173)
 
 

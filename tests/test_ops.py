@@ -110,6 +110,7 @@ def sig_setup():
     return coeffs, f, h_host, xs, sks, pk_host, sig_host
 
 
+@pytest.mark.slow
 def test_sign_batch(sig_setup):
     _, _, h_host, _, sks, _, sig_host = sig_setup
     h_jac = dcv.G2.from_host_affine([h_host] * 3)
@@ -117,6 +118,7 @@ def test_sign_batch(sig_setup):
     assert dcv.G2.to_host_affine(sig) == sig_host
 
 
+@pytest.mark.slow
 def test_jacobian_affine_roundtrip(sig_setup):
     *_, pk_host, _ = sig_setup
     pts = pk_host + [None]
@@ -128,6 +130,7 @@ def test_jacobian_affine_roundtrip(sig_setup):
     assert dcv.G1.to_host_affine(back) == pts
 
 
+@pytest.mark.slow
 def test_verify_batch_stepwise(sig_setup):
     _, _, h_host, _, _, pk_host, sig_host = sig_setup
     bad = sig_host[:2] + [hcv.G2.mul(sig_host[2], 2)]
@@ -138,6 +141,7 @@ def test_verify_batch_stepwise(sig_setup):
     assert list(np.asarray(ok)) == [True, True, False]
 
 
+@pytest.mark.slow
 def test_verify_batch_fused_matches_stepwise(sig_setup):
     _, _, h_host, _, _, pk_host, sig_host = sig_setup
     bad = [sig_host[0]] + [hcv.G2.mul(sig_host[1], 3)] + [sig_host[2]]
@@ -150,6 +154,7 @@ def test_verify_batch_fused_matches_stepwise(sig_setup):
     assert list(np.asarray(fused)) == [True, False, True]
 
 
+@pytest.mark.slow
 def test_combine_batch_recovers_master_sig(sig_setup):
     coeffs, f, h_host, xs, _, _, sig_host = sig_setup
     sh = dcv.G2.from_host_affine(sig_host)
@@ -159,6 +164,7 @@ def test_combine_batch_recovers_master_sig(sig_setup):
     assert got == hcv.G2.mul(h_host, f(0))
 
 
+@pytest.mark.slow
 def test_combine_batch_stepwise_matches(sig_setup):
     coeffs, f, h_host, xs, _, _, sig_host = sig_setup
     sh = dcv.G2.from_host_affine(sig_host)
@@ -168,6 +174,7 @@ def test_combine_batch_stepwise_matches(sig_setup):
     assert got == hcv.G2.mul(h_host, f(0))
 
 
+@pytest.mark.slow
 def test_combine_batch_g1_decryption_shares():
     # decryption-share combine is the same interpolation in G1
     coeffs = [rnd.randrange(R) for _ in range(3)]
@@ -184,6 +191,7 @@ def test_combine_batch_g1_decryption_shares():
     assert got == hcv.G1.mul(u, f(0))
 
 
+@pytest.mark.slow
 def test_combine_duplicate_x_flagged(sig_setup):
     *_, sig_host = sig_setup
     sh = dcv.G2.from_host_affine(sig_host)
@@ -191,6 +199,7 @@ def test_combine_duplicate_x_flagged(sig_setup):
     assert not bool(ok)
 
 
+@pytest.mark.slow
 def test_commit_batch(sig_setup):
     coeffs, *_ = sig_setup
     comm = ops.commit_batch(dcv.fr_limbs_from_ints(coeffs))
@@ -198,6 +207,7 @@ def test_commit_batch(sig_setup):
     assert got == [hcv.G1.mul(hcv.G1.generator, c) for c in coeffs]
 
 
+@pytest.mark.slow
 def test_derive_shares_matches_host_poly(sig_setup):
     coeffs, f, _, xs, sks, _, _ = sig_setup
     got = frops.fr_from_device(
@@ -206,6 +216,7 @@ def test_derive_shares_matches_host_poly(sig_setup):
     assert got == sks
 
 
+@pytest.mark.slow
 def test_verify_sig_shares_rlc(sig_setup):
     """Small-exponent batch verification: all-valid passes, one corrupt
     share fails the aggregate check."""
@@ -236,6 +247,7 @@ def test_rlc_exponents_shape_and_determinism():
     assert np.asarray(a)[:, :4].any(axis=1).all()
 
 
+@pytest.mark.slow
 def test_scalar_mul_stepwise_matches_scan():
     ks = [0, 1, rnd.randrange(R)]
     base = dcv.G1.from_host_affine([hcv.G1.generator] * 3)

@@ -8,6 +8,8 @@ device test already validates against the host oracle).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy device path (see pytest.ini)
+
 import threshold_crypto_tpu.device.mont as mont
 import threshold_crypto_tpu.device.pallas_mont as pallas_mont
 from threshold_crypto_tpu.device.mont import FQ, FR

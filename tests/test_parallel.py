@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy device path (see pytest.ini)
+
 from threshold_crypto_tpu import ops, parallel as par
 from threshold_crypto_tpu.device import curve as dcv
 from threshold_crypto_tpu.host import curve as hcv
