@@ -178,6 +178,17 @@ def test_zeroize(backend, rng):
     assert sk2.fr == 12345 % backend.r
 
 
+def test_zeroize_erases_backing_buffer(backend, rng):
+    """zeroize must physically overwrite the authoritative byte storage
+    (the reference's volatile clear, `src/secret.rs:9-13`)."""
+    sk = tc.SecretKey.random(rng)
+    assert any(sk._buf), "random key should have nonzero bytes"
+    buf = sk._buf  # hold the same object to observe in-place erasure
+    sk.zeroize()
+    assert bytes(buf) == b"\x00" * len(buf)
+    assert sk.fr == 0
+
+
 def test_rng_seed(backend):
     seed = bytes(range(32))
     sk1 = tc.SecretKey.random(ChaChaRng(seed))

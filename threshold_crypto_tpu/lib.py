@@ -197,13 +197,32 @@ class SignatureShare:
 
 
 class SecretKey:
-    """A secret key (Fr scalar).  Mutable so it can be zeroized in place
-    (best-effort only in Python; cf. `/root/reference/src/secret.rs`)."""
+    """A secret key (Fr scalar).
 
-    __slots__ = ("fr",)
+    The authoritative copy of the scalar lives in a mutable ``bytearray``
+    (little-endian), so ``zeroize()`` physically overwrites that memory —
+    the closest CPython analog of the reference's volatile clear
+    (`/root/reference/src/secret.rs:9-13`).  Residual exposure, documented:
+    transient ``int`` objects created while *using* the key (scalar-mul
+    arguments, serde) are immutable and cannot be erased; Python may also
+    intern/copy them.  Treat zeroize as clearing the long-lived storage,
+    not every register/heap ghost — the same caveat the reference's
+    `zeroize` crate documents for registers and copies.
+    """
+
+    __slots__ = ("_buf",)
 
     def __init__(self, fr: int = 0):
-        self.fr = fr % get_backend().r
+        object.__setattr__(self, "_buf", bytearray(32))
+        self.fr = fr
+
+    @property
+    def fr(self) -> int:
+        return int.from_bytes(bytes(self._buf), "little")
+
+    @fr.setter
+    def fr(self, v: int) -> None:
+        self._buf[:] = int(v % get_backend().r).to_bytes(32, "little")
 
     @classmethod
     def random(cls, rng=None) -> "SecretKey":
@@ -218,7 +237,9 @@ class SecretKey:
         return sk
 
     def zeroize(self) -> None:
-        self.fr = 0
+        """Overwrite the backing buffer in place (see class docstring)."""
+        for i in range(len(self._buf)):
+            self._buf[i] = 0
 
     def public_key(self) -> PublicKey:
         return PublicKey(get_backend().G1.one().mul(self.fr))

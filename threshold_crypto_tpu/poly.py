@@ -139,6 +139,15 @@ class Poly:
 
     # -- secret hygiene ---------------------------------------------------------
     def zeroize(self) -> None:
+        """Drop every coefficient reference (`src/poly.rs:46-58`).
+
+        Residual exposure, documented: CPython ints are immutable, so the
+        coefficient *objects* cannot be overwritten — this clears the
+        polynomial's references and its observable value; the freed int
+        memory is erased only when the allocator reuses it.  Long-lived
+        secrets that need physical erasure belong in `SecretKey`, whose
+        backing store is a zeroizable bytearray.
+        """
         for i in range(len(self.coeff)):
             self.coeff[i] = 0
 
