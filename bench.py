@@ -78,7 +78,7 @@ def main() -> None:
     path = args.path or ("pallas" if on_tpu else "stepwise")
     if args.fused:
         path = "pallas"
-    batch = args.batch or (2048 if on_tpu else 16)
+    batch = args.batch or (512 if on_tpu else 16)
 
     from threshold_crypto_tpu import ops
     from threshold_crypto_tpu.device import pairing as dpr

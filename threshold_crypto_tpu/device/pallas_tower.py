@@ -38,6 +38,7 @@ tests/test_pallas_tower.py via interpreter mode.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,9 +54,11 @@ TILE_ROWS = 8  # sublane rows per grid block -> 1024 batch lanes per block
 L = FQ.L  # 24 limbs
 
 # Max Fq products per engine instance.  Bounds the engine's VMEM working set
-# (~96 planes × MAX_STACK × 4 KB ≈ 5.4 MB at 14) while keeping instruction
-# count per kernel at (#layers/MAX_STACK)·~6k.
-MAX_STACK = 14
+# (~96 planes × MAX_STACK × 4 KB ≈ 5.4 MB at 14, plus adder-tree
+# transients) while keeping instruction count per kernel at
+# (#layers/MAX_STACK)·~6k.  At 14 the fq12-mul kernel peaks ~18 MB of
+# scoped VMEM once multi-block grids double-buffer their I/O; 10 fits.
+MAX_STACK = int(os.environ.get("TC_TPU_MAX_STACK", "10"))
 
 # Flipped by tests to run kernels through the Pallas interpreter on CPU.
 INTERPRET = False
