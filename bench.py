@@ -105,7 +105,17 @@ def main() -> None:
         fn = ops.verify_batch_stepwise  # drives its own small jitted kernels
 
     t0 = time.time()
-    out = np.asarray(jax.device_get(fn(pk_aff, h_aff, sig_aff)))
+    try:
+        out = np.asarray(jax.device_get(fn(pk_aff, h_aff, sig_aff)))
+    except Exception as e:  # pallas path unavailable -> stepwise still runs
+        if path != "pallas":
+            raise
+        print(f"# pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to stepwise", file=sys.stderr)
+        path = "stepwise"
+        fn = ops.verify_batch_stepwise
+        t0 = time.time()
+        out = np.asarray(jax.device_get(fn(pk_aff, h_aff, sig_aff)))
     compile_s = time.time() - t0
     assert out.all(), f"verification batch failed: {out[:8]}..."
 
