@@ -56,9 +56,13 @@ L = FQ.L  # 24 limbs
 # Max Fq products per engine instance.  Bounds the engine's VMEM working set
 # (~96 planes × MAX_STACK × 4 KB ≈ 5.4 MB at 14, plus adder-tree
 # transients) while keeping instruction count per kernel at
-# (#layers/MAX_STACK)·~6k.  At 14 the fq12-mul kernel peaks ~18 MB of
-# scoped VMEM once multi-block grids double-buffer their I/O; 10 fits.
-MAX_STACK = int(os.environ.get("TC_TPU_MAX_STACK", "10"))
+# (#layers/MAX_STACK)·~6k.  Trade-off measured on v5e: 14 compiles the
+# verify pipeline in ~9 min and fits VMEM for per-pair batches ≤ 1024
+# (one row block per band); larger batches double-buffer multi-block
+# grids and push the fq12-mul kernel ~2 MB over the 16 MB scoped limit —
+# set TC_TPU_MAX_STACK=10 for big-batch runs (slower compile, smaller
+# working set).
+MAX_STACK = int(os.environ.get("TC_TPU_MAX_STACK", "14"))
 
 # Flipped by tests to run kernels through the Pallas interpreter on CPU.
 INTERPRET = False
