@@ -132,8 +132,8 @@ class DeviceCurve:
         self.b_host = b_const
         self.gen_affine_host = gen_affine
         self.name = name
-        self._msm_step = None
-        self._mul_step = None
+        self._msm_step = {}
+        self._mul_step = {}
 
     # -- constructors --------------------------------------------------------
     def infinity(self, shape=()):
@@ -298,9 +298,10 @@ class DeviceCurve:
         per-lane digit [N...] -> [N..., L]."""
 
         def sel(leaf):
+            # idx [1, N..., 1] matches leaf rank for batched ([2^w, N..., L])
+            # and unbatched ([2^w, L]) tables alike (ADVICE r2: the former
+            # ndim-2 special case broke the unbatched path).
             idx = digit.astype(jnp.int32)[None, ..., None]
-            if leaf.ndim == 2:  # leaf [2^w, N] (e.g. nothing today; safety)
-                idx = idx[..., 0]
             return jnp.take_along_axis(leaf, idx, axis=0)[0]
 
         return jax.tree_util.tree_map(sel, table)
@@ -387,7 +388,7 @@ class DeviceCurve:
     def scalar_mul_stepwise(self, p, k_limbs, nbits: int = 255,
                             window: int = 4):
         f = self.f
-        if self._mul_step is None:
+        if window not in self._mul_step:
             @jax.jit
             def step(acc, table, digit):
                 for _ in range(window):
@@ -398,8 +399,8 @@ class DeviceCurve:
             def build(p):
                 return self._window_table(p, window)
 
-            self._mul_step = (step, build)
-        step, build = self._mul_step
+            self._mul_step[window] = (step, build)
+        step, build = self._mul_step[window]
         digits = scalar_digits(k_limbs, nbits, window)
         table = build(p)
         acc = self.infinity(f.shape(p[2]))
@@ -410,7 +411,7 @@ class DeviceCurve:
     def msm_stepwise(self, points, scalars, nbits: int = 255,
                      window: int = 4):
         f = self.f
-        if self._msm_step is None:
+        if window not in self._msm_step:
             @jax.jit
             def step(acc, table, digit_row):
                 for _ in range(window):
@@ -422,8 +423,8 @@ class DeviceCurve:
             def build(points):
                 return self._window_table(points, window)
 
-            self._msm_step = (step, build)
-        step, build = self._msm_step
+            self._msm_step[window] = (step, build)
+        step, build = self._msm_step[window]
         digits = scalar_digits(scalars, nbits, window)
         table = build(points)
         acc = self.infinity(f.shape(points[2])[1:])

@@ -236,7 +236,8 @@ def _neg_aff(curve, aff):
 # Combine (in-exponent Lagrange at x=0)
 # ---------------------------------------------------------------------------
 
-def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont):
+def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
+                  window: int = 4):
     """Σ_i λ_i · share_i with λ from the batch's x coordinates.
 
     curve: dcv.G2 for signature shares, dcv.G1 for decryption shares.
@@ -245,10 +246,13 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont):
     `/root/reference/src/lib.rs:769-773`).
     Returns (point pytree [], ok[]) — ok False on duplicate/zero x
     (the reference's DuplicateEntry, `/root/reference/src/lib.rs:763`).
+
+    window=1 skips the window-table build (a multi-minute XLA:CPU compile)
+    — used by the CPU dryrun, where compile latency is the whole cost.
     """
     lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
     lam_plain = frops.fr_to_plain(lam_mont)
-    out = curve.msm(shares_jac, lam_plain)
+    out = curve.msm(shares_jac, lam_plain, window=window)
     return out, ok
 
 
