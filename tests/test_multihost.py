@@ -1,8 +1,67 @@
-"""Multi-host runtime helpers (single-process graceful degradation)."""
+"""Multi-host runtime helpers: single-process graceful degradation AND a
+real 2-process world (two spawned CPU processes, Gloo collectives, 4-device
+global mesh) — SURVEY §4: "multi-host tests run the same pjit program on a
+2+ host mesh"."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import numpy as np
 import pytest
+
+
+def _run_two_process(phase: str, timeout: float):
+    """Spawn two mh_worker.py processes sharing a coordinator; return their
+    (rc, output) pairs."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {
+        k: v for k, v in os.environ.items() if not k.startswith("JAX_")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, str(i), phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+def test_two_process_runtime_and_broadcast():
+    """World size 2 for real: initialize, 4-device global mesh, dealer
+    broadcast of serialized protocol bytes, replicated-state guard, and one
+    cross-process SPMD reduction."""
+    outs = _run_two_process("basic", timeout=240)
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER-OK {i}" in out
+
+
+@pytest.mark.slow
+def test_two_process_sharded_combine():
+    """Sharded sign + Lagrange combine across the 2-process mesh equals the
+    host-oracle combine (compile-heavy: real G2 math on XLA:CPU)."""
+    outs = _run_two_process("combine", timeout=900)
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER-OK {i}" in out
 
 
 def test_multihost_single_process_graceful():

@@ -137,8 +137,10 @@ def test_commitment_poly_serde(backend, rng):
     poly = Poly.random(3, rng)
     comm = poly.commitment()
     assert deserialize(Commitment, serialize(comm)) == comm
-    with pytest.raises(TypeError):
-        serialize(poly)  # Poly is secret
+    # The reference serializes Poly directly (field_vec derive,
+    # `/root/reference/src/poly.rs:39-43`); bytes equal the SerdeSecret form.
+    assert serialize(poly) == serialize(SerdeSecret(poly))
+    assert deserialize(Poly, serialize(poly)) == poly
     assert deserialize(Poly, serialize(SerdeSecret(poly))) == poly
 
 

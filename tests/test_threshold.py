@@ -215,3 +215,22 @@ def test_decrypt_share_no_verify(backend, rng):
     a = sk_set.secret_key_share(0).decrypt_share(ct)
     b_ = sk_set.secret_key_share(0).decrypt_share_no_verify(ct)
     assert a == b_
+
+
+def test_verify_signature_shares_batch(backend, rng):
+    """RLC batch verification: one aggregate check accepts N valid shares
+    and rejects any tampering (`PublicKeySet.verify_signature_shares`)."""
+    sk_set = tc.SecretKeySet.random(2, rng)
+    pk_set = sk_set.public_keys()
+    msg = b"batch me"
+    shares = {
+        i: sk_set.secret_key_share(i).sign(msg) for i in range(5)
+    }
+    assert pk_set.verify_signature_shares(shares, msg, rng)
+    assert pk_set.verify_signature_shares({}, msg, rng)
+    # corrupt one share -> aggregate check must fail
+    bad = dict(shares)
+    bad[3] = sk_set.secret_key_share(4).sign(msg)  # wrong signer for index
+    assert not pk_set.verify_signature_shares(bad, msg, rng)
+    # wrong message -> fail
+    assert not pk_set.verify_signature_shares(shares, b"other", rng)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..host import tower as htw
 from . import mont
@@ -452,9 +453,12 @@ def fq12_mul_by_014(f, c0, c1, c4):
 # ---------------------------------------------------------------------------
 
 def _emb_fq2_const(c):
+    # Plain numpy (not jnp): creating device arrays at import time would
+    # initialize the XLA backend before a multi-host caller can run
+    # jax.distributed.initialize().  jnp ops convert these on use.
     return (
-        jnp.asarray(mont.to_mont(FQ, c[0])),
-        jnp.asarray(mont.to_mont(FQ, c[1])),
+        np.asarray(mont.to_mont(FQ, c[0])),
+        np.asarray(mont.to_mont(FQ, c[1])),
     )
 
 

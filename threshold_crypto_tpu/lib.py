@@ -413,6 +413,42 @@ class PublicKeySet:
         g = interpolate(self.commit.degree(), samples)
         return xor_with_hash(g, ct.v)
 
+    def verify_signature_shares(self, shares, msg: bytes, rng=None) -> bool:
+        """Probabilistic batch verification of N signature shares on ONE
+        message: e(Σ rᵢ·pkᵢ, H(m)) == e(G1, Σ rᵢ·sigᵢ) with independent
+        64-bit exponents rᵢ — two pairings total instead of the 2N of
+        per-share `PublicKeyShare.verify` in a loop (the reference's hot
+        pattern, `/root/reference/src/lib.rs:177-179` called per share).
+
+        If any share is invalid the check fails except with probability
+        2⁻⁶⁴.  The exponents are drawn from a PRF over fresh randomness
+        AND the full verification transcript (every pkᵢ, sigᵢ and H(m)),
+        so a share-holder can never predict them (ADVICE r2).  On failure,
+        fall back to per-share `verify` to identify the cheater.
+
+        `shares`: {i: SignatureShare} or iterable of (i, SignatureShare).
+        The TPU-batched form of the same check is
+        `ops.verify_sig_shares_rlc` (device affine pytrees in, one MSM +
+        one product check on the mesh).
+        """
+        b = get_backend()
+        items = list(_iter_share_items(shares))
+        if not items:
+            return True
+        hash_pt = hash_g2(msg)
+        pks = [self.public_key_share(i).pk.el for i, _ in items]
+        sigs = [s.sig.el for _, s in items]
+        exps = _batch_exponents(
+            pks, sigs, hash_pt,
+            (rng if rng is not None else OsRng()),
+        )
+        agg_pk = b.G1.zero()
+        agg_sig = b.G2.zero()
+        for r, pk, sig in zip(exps, pks, sigs):
+            agg_pk = agg_pk.add(pk.mul(r))
+            agg_sig = agg_sig.add(sig.mul(r))
+        return b.pairing_eq(agg_pk, hash_pt, b.G1.one(), agg_sig)
+
     def __eq__(self, other):
         return isinstance(other, PublicKeySet) and self.commit == other.commit
 
@@ -470,6 +506,30 @@ def _iter_share_items(shares):
     if hasattr(shares, "items"):
         return sorted(shares.items())
     return list(shares)
+
+
+def _batch_exponents(pks, sigs, hash_pt, rng):
+    """Nonzero 64-bit RLC exponents bound to the verification transcript.
+
+    ChaCha20 keyed by SHA3-256(fresh-randomness ‖ n ‖ every compressed pkᵢ,
+    sigᵢ and H(m)): unpredictable to the share provider both by the fresh
+    seed and by the transcript binding (changing any point reshuffles every
+    exponent)."""
+    from .hashing import sha3_256
+    from .utils.rng import ChaChaRng
+
+    seed = bytes(rng.next_u32() & 0xFF for _ in range(32))
+    material = seed + len(pks).to_bytes(8, "little")
+    for el in list(pks) + list(sigs) + [hash_pt]:
+        material += el.to_compressed()
+    prf = ChaChaRng.from_seed(sha3_256(material))
+    out = []
+    for _ in pks:
+        v = 0
+        while v == 0:
+            v = prf.next_u64()
+        out.append(v)
+    return out
 
 
 def interpolate(t: int, items):

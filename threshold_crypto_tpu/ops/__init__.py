@@ -36,5 +36,6 @@ from .threshold import (  # noqa: F401
     verify_batch_pallas,
     verify_batch_stepwise,
     verify_sig_shares_rlc,
+    verify_sig_shares_rlc_stepwise,
     verify_dec_share_batch,
 )

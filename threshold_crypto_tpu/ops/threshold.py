@@ -147,6 +147,31 @@ def verify_sig_shares_rlc(pk_aff, h_jac, sig_aff, r_plain):
     r_plain: uint32[N, 16] canonical Fr limbs with only low 64 bits set.
     Returns bool[] (scalar): True iff the aggregate check passes.
     """
+    p, q = _rlc_aggregate_pairs(pk_aff, h_jac, sig_aff, r_plain)
+    check = (
+        dpr.pairing_check_pallas if mont.use_pallas()
+        else dpr.pairing_check_fused
+    )
+    return check(p, q)[0]
+
+
+_jit_rlc_aggregate = None
+
+
+def verify_sig_shares_rlc_stepwise(pk_aff, h_jac, sig_aff, r_plain):
+    """`verify_sig_shares_rlc` with the two MSMs as ONE jit program and the
+    single aggregate 2-pair check through the stepwise pairing driver — the
+    compile-latency-bounded form (the N-share MSM amortizes the stepwise
+    pairing's per-dispatch cost, so this is also the bench's RLC path)."""
+    global _jit_rlc_aggregate
+    if _jit_rlc_aggregate is None:
+        _jit_rlc_aggregate = jax.jit(_rlc_aggregate_pairs)
+    p, q = _jit_rlc_aggregate(pk_aff, h_jac, sig_aff, r_plain)
+    return dpr.pairing_check(p, q)[0]
+
+
+def _rlc_aggregate_pairs(pk_aff, h_jac, sig_aff, r_plain):
+    """(Σ rᵢ·pkᵢ, −G1) × (H, Σ rᵢ·sigᵢ) as [2]-pair affine pytrees."""
     pk_jac = affine_to_jacobian(dcv.G1, pk_aff)
     sig_jac = affine_to_jacobian(dcv.G2, sig_aff)
     agg_pk = dcv.G1.msm(pk_jac, r_plain, nbits=64)
@@ -162,18 +187,23 @@ def verify_sig_shares_rlc(pk_aff, h_jac, sig_aff, r_plain):
     h_a = jacobian_to_affine(dcv.G2, h1)
     p = _pair2(pk_a, _neg_gen_g1((1,)))
     q = _pair2(h_a, sig_a)
-    check = (
-        dpr.pairing_check_pallas if mont.use_pallas()
-        else dpr.pairing_check_fused
-    )
-    return check(p, q)[0]
+    return p, q
 
 
-def rlc_exponents(n: int, seed: bytes):
-    """Deterministic 64-bit batch-verification exponents from a seed.
+def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
+                  h_jac=None):
+    """Deterministic 64-bit batch-verification exponents, bound to the
+    verification transcript.
 
-    Derived with ChaCha20 keyed by SHA3-256(seed ‖ n) — a PRF over
-    verifier-chosen input, so a malicious share-holder cannot bias them.
+    Derived with ChaCha20 keyed by SHA3-256(seed ‖ n ‖ transcript), where
+    the transcript absorbs the limb bytes of every point pytree passed via
+    `pk_aff` / `sig_aff` / `h_jac` (or positionally).  Binding the
+    exponents to the shares being verified means a malicious share-holder
+    cannot predict them even for a public/reused seed: any change to any
+    point changes every exponent (ADVICE r2: a predictable seed alone let
+    crafted invalid shares cancel in the aggregate).  Callers should still
+    pass fresh randomness as `seed` for defense in depth.
+
     Returns uint32[n, 16] canonical Fr limbs (low 64 bits populated, never
     zero: a zero exponent would drop a share from the check entirely).
     """
@@ -182,7 +212,13 @@ def rlc_exponents(n: int, seed: bytes):
     from .. import hashing
     from ..utils.rng import ChaChaRng
 
-    digest = hashing.sha3_256(bytes(seed) + n.to_bytes(8, "little"))
+    material = bytes(seed) + n.to_bytes(8, "little")
+    for tree in list(trees) + [pk_aff, sig_aff, h_jac]:
+        if tree is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(tree):
+            material += _np.asarray(jax.device_get(leaf)).tobytes()
+    digest = hashing.sha3_256(material)
     rng = ChaChaRng.from_seed(digest)
     out = _np.zeros((n, 16), _np.uint32)
     for i in range(n):

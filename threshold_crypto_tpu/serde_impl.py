@@ -155,7 +155,11 @@ def serialize(obj) -> bytes:
     if isinstance(obj, Commitment):
         return _ser_vec(obj.coeff, _ser_g1)
     if isinstance(obj, Poly):
-        raise TypeError("Poly holds secrets; serialize via SerdeSecret")
+        # The reference serializes Poly directly (its field_vec codec,
+        # `/root/reference/src/poly.rs:39-43`) — downstream DKG protocols
+        # put serialized rows on the wire.  Same bytes as the SerdeSecret
+        # form; prefer SerdeSecret(poly) to make the secret flow explicit.
+        return _ser_vec(obj.coeff, _ser_fr)
     if isinstance(obj, BivarCommitment):
         return struct.pack("<Q", obj.degree()) + _ser_vec(obj.coeff, _ser_g1)
     raise TypeError(f"cannot serialize {type(obj).__name__}")
