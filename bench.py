@@ -132,15 +132,24 @@ def main() -> None:
 
     pk_aff, h_aff, sig_aff = _make_batch(batch, dpr, hcv, R)
 
-    # ---- child mode: pallas per-pair only, print a stage line, exit -------
+    # ---- child mode: pallas per-pair, then Pallas-MSM RLC (shares the
+    # per-pair executable for its aggregate check); one stage line each ----
     if args.child_pallas:
-        fn = jax.jit(ops.verify_batch_pallas)
         out, best, compile_s = _measure(
-            fn, (pk_aff, h_aff, sig_aff), args.iters, np, jax
+            ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
+            args.iters, np, jax,
         )
         assert out.all(), f"pallas verification batch failed: {out[:8]}"
         _emit({"stage": "pallas", "per_pair": batch / best,
                "compile_s": round(compile_s, 1)})
+        try:
+            rate, extras = _bench_rlc_pallas(
+                rlc_batch, batch, args.iters, np, jax
+            )
+            _emit({"stage": "rlc_pallas", "rate": rate, **extras})
+        except Exception as e:
+            print(f"# rlc_pallas stage failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
         return
 
     result = {
@@ -200,8 +209,11 @@ def main() -> None:
         )
         _emit(result)
 
-    # ---- stage 2: RLC batch verification (the protocol hot pattern) -------
-    if args.path != "stepwise" and args.deadline - _elapsed() > 60:
+    # ---- stage 2: RLC batch verification (the protocol hot pattern).
+    # On TPU the child covers RLC through the Pallas MSM megakernels; the
+    # in-process stepwise form is the off-TPU/debug path. -------------------
+    if args.path != "stepwise" and not on_tpu \
+            and args.deadline - _elapsed() > 60:
         try:
             rate, extras = _bench_rlc(rlc_batch, args.iters, np, jax)
             result["rlc_share_verifies_per_sec"] = round(rate, 2)
@@ -232,6 +244,14 @@ def main() -> None:
                     continue
                 if obj.get("stage") == "pallas":
                     stage = obj
+            rlc_stage = None
+            for line in proc.stdout.splitlines():
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if obj.get("stage") == "rlc_pallas":
+                    rlc_stage = obj
             if stage is not None:
                 result["per_pair_verifies_per_sec"] = round(
                     stage["per_pair"], 2
@@ -244,6 +264,13 @@ def main() -> None:
                     fq_mul_rate * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
                 )
                 set_headline(stage["per_pair"], "per_pair_pallas")
+                if rlc_stage is not None:
+                    result["rlc_share_verifies_per_sec"] = round(
+                        rlc_stage["rate"], 2
+                    )
+                    result["rlc_batch"] = rlc_stage.get("rlc_batch")
+                    result["rlc_compile_s"] = rlc_stage.get("compile_s")
+                    set_headline(rlc_stage["rate"], "rlc_batch_pallas")
                 _emit(result)
                 print(f"# stage3 pallas: {stage['per_pair']:.1f}/s "
                       f"compile={stage['compile_s']}s "
@@ -259,6 +286,57 @@ def main() -> None:
 
     print(f"# done: value={result['value']} mode={result.get('mode')} "
           f"elapsed={_elapsed():.0f}s", file=sys.stderr)
+
+
+def _make_rlc_batch(n, np):
+    """Shared-message RLC batch: [N] pks + sigs over ONE hash point."""
+    from threshold_crypto_tpu.device import curve as dcv
+    from threshold_crypto_tpu.device import pairing as dpr
+    from threshold_crypto_tpu.host import curve as hcv
+    from threshold_crypto_tpu.host.params import R
+
+    rnd = random.Random(0xA66)
+    n_unique = 16
+    sks = [rnd.randrange(1, R) for _ in range(n_unique)]
+    hk = rnd.randrange(1, R)
+    h_host = hcv.G2.mul(hcv.G2.generator, hk)
+    pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
+    sig_host = [hcv.G2.mul(h_host, s) for s in sks]
+    reps = (n + n_unique - 1) // n_unique
+    pk_aff = dpr.g1_affine_from_host((pk_host * reps)[:n])
+    sig_aff = dpr.g2_affine_from_host((sig_host * reps)[:n])
+    h_jac = dcv.G2.from_host_affine([h_host])
+    return pk_aff, sig_aff, h_jac
+
+
+def _bench_rlc_pallas(n, check_batch, iters, np, jax):
+    """Rate of Pallas-MSM RLC batch verification, exponent derivation
+    included in the timed loop (a real verifier re-derives per batch)."""
+    from threshold_crypto_tpu import ops
+
+    pk_aff, sig_aff, h_jac = _make_rlc_batch(n, np)
+
+    def run():
+        r = ops.rlc_exponents(
+            n, os.urandom(32), pk_aff=pk_aff, sig_aff=sig_aff
+        )
+        ok = ops.verify_sig_shares_rlc_pallas(
+            pk_aff, h_jac, sig_aff, r, check_batch=check_batch
+        )
+        return bool(np.asarray(jax.device_get(ok)))
+
+    t0 = time.time()
+    ok = run()
+    compile_s = time.time() - t0
+    assert ok, "RLC (pallas) aggregate verification failed"
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return n / min(times), {
+        "rlc_batch": n, "compile_s": round(compile_s, 1),
+    }
 
 
 def _bench_rlc(n, iters, np, jax):

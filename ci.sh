@@ -39,7 +39,10 @@ fi
 
 if [ "$MODE" = "deep" ]; then
   echo "== deep: slow tier (compile-heavy device suites) =="
-  python -m pytest tests/ -q -m slow
+  # opt-level 0: ~2x faster XLA:CPU compiles; these tests assert math
+  # parity, not performance, so unoptimized code is the right trade.
+  XLA_FLAGS="${XLA_FLAGS:-} --xla_backend_optimization_level=0" \
+    python -m pytest tests/ -q -m slow
 fi
 
 echo "CI ($MODE) passed."

@@ -378,6 +378,25 @@ class DeviceCurve:
         out, _ = jax.lax.scan(body, init, digits)
         return out
 
+    def msm_scalarwise(self, points, scalars, nbits: int = 255,
+                       window: int = 1):
+        """Σ points_i·scalars_i as N independent windowed scalar-muls + ONE
+        final tree reduction.
+
+        Same total point-op count as `msm` on a throughput-bound TPU (the
+        per-digit cross-lane tree of `msm` idles most lanes in its tail),
+        but the traced graph is a fraction of the size: the per-digit
+        reduction tree (log N distinct shapes × 64 digits) collapses to a
+        single scan body plus one scan-fold reduction — XLA compiles this
+        in ~a minute where `msm` at N=4096 takes tens of minutes.
+
+        window=1 by default: the window table build unrolls 2^w−2 point-op
+        bodies, each ~28 s of TPU compile; the plain bit-scan body stays
+        tiny and the extra doublings run fully lane-parallel.
+        """
+        prods = self.scalar_mul(points, scalars, nbits=nbits, window=window)
+        return fold_sum(self, prods)
+
     # -- stepwise (dispatch-per-bit) variants ---------------------------------
     # Same math as scalar_mul/msm, but driven from Python over one tiny
     # jitted step kernel instead of a single lax.scan program.  XLA compiles
@@ -441,6 +460,42 @@ def _bshape(f, a, b):
 
 def _select_pt(f, cond, p, q):
     return tuple(f.select(cond, a, b) for a, b in zip(p, q))
+
+
+def fold_sum(curve, pts, widths=(128, 8, 1)):
+    """Reduce a point batch over the leading axis with `lax.scan` folds.
+
+    Each XLA-path Jacobian `add` traces to a huge HLO body (~28 s of TPU
+    compile per distinct batch shape); `_tree_sum`'s log₂N unrolled levels
+    make large-N reductions un-compilable (tens of minutes at N=4096).
+    Here the batch is reshaped to [k, g] and scanned (ONE add body per
+    width tier), stepping down the `widths` ladder — 3 add bodies total
+    regardless of N, at ~k+16+8 sequential rounds instead of log₂N.
+    """
+    f = curve.f
+    n = f.shape(pts[2])[0]
+    for g in widths:
+        if n == 1:
+            break
+        if n <= g:
+            continue
+        k = -(-n // g)
+        if k * g != n:
+            pad = curve.infinity((k * g - n,))
+            pts = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), pts, pad
+            )
+        rows = jax.tree_util.tree_map(
+            lambda a: a.reshape((k, g) + a.shape[1:]), pts
+        )
+
+        def body(acc, row):
+            return curve.add(acc, row), None
+
+        acc, _ = jax.lax.scan(body, curve.infinity((g,)), rows)
+        pts = acc
+        n = g
+    return jax.tree_util.tree_map(lambda a: a[0], pts)
 
 
 def _tree_sum(curve, pts):

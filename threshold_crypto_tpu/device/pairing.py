@@ -370,13 +370,15 @@ def pairing_check(p_aff, q_aff):
 
 
 # ---------------------------------------------------------------------------
-# Pallas megakernel pipeline (round-2 fast path).
+# Pallas megakernel pipeline (the TPU fast path).
 #
-# Same math as the fused XLA path above, but every tower operation runs as
-# ONE Pallas kernel on the packed limb-major layout (device/pallas_tower.py):
-# ~560 in-program kernel dispatches per batch instead of ~10⁵ limb-level HLO
-# ops — which is what makes the fused program both compilable (<min vs tens
-# of minutes) and fast (state stays in VMEM within each tower op).
+# Same math as the fused XLA path above, but whole Miller iterations run as
+# single fused Pallas kernels on the packed limb-major layout
+# (device/pallas_tower.py), sequenced by `lax.scan` with `lax.cond` on the
+# static 1-bits of |X| — ~26 Pallas call sites over 7 distinct Mosaic
+# kernels for the whole verify pipeline (round 2 had ~130 sites and
+# compiled for 21 min cold / 7 min warm; this compiles ~7 min cold,
+# ~3 min warm, persistent-cacheable).
 # ---------------------------------------------------------------------------
 
 def _flatten_aff(aff):
@@ -504,18 +506,61 @@ def _expx_packed(f):
 def final_exponentiation_packed(f):
     """Packed final exponentiation: easy part via the XLA tower (one Fermat
     inversion), hard part via cyclotomic Pallas kernels.  Identical GT bits
-    to `final_exponentiation`."""
+    to `final_exponentiation`.
+
+    The lattice chain's five exp-by-x segments run as ONE `lax.scan` over a
+    5-entry instruction tape — the per-segment "glue" factors (conj / frob
+    / one) are selected with `lax.switch` over cheap XLA ops, so the whole
+    hard part contributes only 4 Pallas call sites (each site costs seconds
+    of Mosaic compile; round 2 unrolled the six segments into ~20 sites).
+
+    Chain (host-identical): t₁ = x^X·conj(x); t₂ = x₁^X·conj(t₁);
+    t₃ = t₂^X·frob₁(t₂); t₄ = t₃^X; t₅ = t₄^X·frob₂(t₃)·conj(t₃);
+    result = t₅·x²·x.
+    """
     ft = _unpack12_tree(f)
     x = tw.fq12_mul(tw.fq12_conj(ft), tw.fq12_inv(ft))
     ft = tw.fq12_mul(tw.fq12_frob(x, 2), x)
     f = _pack12_tree(ft)
 
-    t = ptw.p_fq12_mul(_expx_packed(f), ptw.packed_conj12(f))   # f^(X-1)
-    t = ptw.p_fq12_mul(_expx_packed(t), ptw.packed_conj12(t))   # ^(X-1)
-    t = ptw.p_fq12_mul(_expx_packed(t), _packed_frob(t, 1))     # ^(X+p)
-    tx2 = _expx_packed(_expx_packed(t))
-    t = ptw.p_fq12_mul(
-        ptw.p_fq12_mul(tx2, _packed_frob(t, 2)), ptw.packed_conj12(t)
+    if ptw.DIRECT:
+        t = ptw.p_fq12_mul(_expx_packed(f), ptw.packed_conj12(f))
+        t = ptw.p_fq12_mul(_expx_packed(t), ptw.packed_conj12(t))
+        t = ptw.p_fq12_mul(_expx_packed(t), _packed_frob(t, 1))
+        tx2 = _expx_packed(_expx_packed(t))
+        t = ptw.p_fq12_mul(
+            ptw.p_fq12_mul(tx2, _packed_frob(t, 2)), ptw.packed_conj12(t)
+        )
+        f3 = ptw.p_fq12_mul(ptw.p_fq12_sqr(f), f)
+        return ptw.p_fq12_mul(t, f3)
+
+    R = f.shape[1]
+    one = ptw.packed_one12(R)
+
+    def seg(carry, code):
+        cur, prev = carry
+        e = _expx_packed(cur)
+        g1 = jax.lax.switch(
+            code,
+            [
+                lambda c, p: ptw.packed_conj12(f),   # s1: ·conj(x)
+                lambda c, p: ptw.packed_conj12(c),   # s2: ·conj(t₁)
+                lambda c, p: _packed_frob(c, 1),     # s3: ·frob₁(t₂)
+                lambda c, p: one,                    # s4: pure ^X
+                lambda c, p: _packed_frob(p, 2),     # s5: ·frob₂(t₃)
+            ],
+            cur, prev,
+        )
+        g2 = jax.lax.switch(
+            code,
+            [lambda c, p: one] * 4 + [lambda c, p: ptw.packed_conj12(p)],
+            cur, prev,
+        )
+        nxt = ptw.p_fq12_mul(ptw.p_fq12_mul(e, g1), g2)
+        return (nxt, cur), None
+
+    (t, _), _ = jax.lax.scan(
+        seg, (f, f), jnp.arange(5, dtype=jnp.int32)
     )
     f3 = ptw.p_fq12_mul(ptw.p_fq12_sqr(f), f)
     return ptw.p_fq12_mul(t, f3)

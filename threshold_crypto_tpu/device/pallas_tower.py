@@ -64,6 +64,13 @@ L = FQ.L  # 24 limbs
 MAX_STACK = int(os.environ.get("TC_TPU_MAX_STACK", "14"))
 MULTIBLOCK_STACK = min(MAX_STACK, 10)
 
+# Mosaic scoped-VMEM budget for the megakernels (default 16 MB is the
+# compiler's conservative floor; the 38-plane fused Miller kernels need
+# ~16.1 MB at stack 12 on 2-block grids).
+VMEM_LIMIT_BYTES = int(
+    os.environ.get("TC_TPU_VMEM_LIMIT", str(48 * 1024 * 1024))
+)
+
 # Active width read by mul_many during kernel tracing; set by _call.
 _ACTIVE_STACK = MAX_STACK
 
@@ -733,6 +740,13 @@ def _call(kernel, in_planes, out_planes, args, stack=None):
             if len(out_planes) > 1
             else _block(out_planes[0]),
             out_shape=outs if len(out_planes) > 1 else outs[0],
+            compiler_params=pltpu.CompilerParams(
+                # The fused Miller kernels sit just over Mosaic's 16 MB
+                # default scoped-VMEM budget (v5e has far more physical
+                # VMEM); give them headroom instead of shrinking the
+                # engine stack further.
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            ),
             interpret=INTERPRET,
         )(*args)
         return res
@@ -829,10 +843,8 @@ def _k_fq12_sqr(a_ref, fo_ref):
 
 @jax.jit
 def p_dbl_fold(f, T, p):
-    # stack 12: at 14 the 38-plane I/O set overflowed scoped VMEM by 0.3 MB
     fo, To = _call(
-        _k_dbl_fold, [12 * L, 6 * L, 2 * L], [12 * L, 6 * L], [f, T, p],
-        stack=12,
+        _k_dbl_fold, [12 * L, 6 * L, 2 * L], [12 * L, 6 * L], [f, T, p]
     )
     return fo, To
 
@@ -844,7 +856,6 @@ def p_add_fold(f, T, q, p):
         [12 * L, 6 * L, 4 * L, 2 * L],
         [12 * L, 6 * L],
         [f, T, q, p],
-        stack=12,
     )
     return fo, To
 

@@ -35,7 +35,9 @@ from .threshold import (  # noqa: F401
     verify_batch,
     verify_batch_pallas,
     verify_batch_stepwise,
+    verify_batch_pallas_jit,
     verify_sig_shares_rlc,
+    verify_sig_shares_rlc_pallas,
     verify_sig_shares_rlc_stepwise,
     verify_dec_share_batch,
 )

@@ -119,6 +119,19 @@ def verify_batch_pallas(pk_aff, h_aff, sig_aff):
     return dpr.pairing_check_pallas(p, q)
 
 
+_jit_vbp = None
+
+
+def verify_batch_pallas_jit(pk_aff, h_aff, sig_aff):
+    """Module-level jitted `verify_batch_pallas`: every caller (bench
+    per-pair stage, RLC aggregate check) shares ONE executable per shape —
+    in-process reuse and a single persistent-cache entry."""
+    global _jit_vbp
+    if _jit_vbp is None:
+        _jit_vbp = jax.jit(verify_batch_pallas)
+    return _jit_vbp(pk_aff, h_aff, sig_aff)
+
+
 def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
     """`verify_batch` driven over small jitted step kernels (host-driven
     Miller loop + phase-wise final exponentiation): same results, a fraction
@@ -156,6 +169,51 @@ def verify_sig_shares_rlc(pk_aff, h_jac, sig_aff, r_plain):
 
 
 _jit_rlc_aggregate = None
+_jit_rlc_pallas_agg = None
+
+
+def verify_sig_shares_rlc_pallas(pk_aff, h_jac, sig_aff, r_plain,
+                                 check_batch: int = 512):
+    """`verify_sig_shares_rlc` with BOTH 64-bit MSMs on the Pallas MSM
+    megakernel (`device/pallas_curve.msm_pallas`, ~10× the XLA path's
+    Fq-mul throughput) and the single aggregate check run through
+    `verify_batch_pallas` at `check_batch` replicated lanes — the exact
+    jitted function+shapes of the per-pair fast path, so a warmed process
+    (or persistent cache) pays ZERO extra compile for the check.
+
+    This is the TPU throughput path for the reference's dominant pattern
+    (N same-message share verifies, `/root/reference/src/lib.rs:177-179`).
+    """
+    global _jit_rlc_pallas_agg
+    if _jit_rlc_pallas_agg is None:
+        from ..device import pallas_curve as pcv
+
+        def agg(pk_aff, sig_aff, r_plain):
+            apk = pcv.msm_pallas(dcv.G1, pk_aff, r_plain, nbits=64)
+            asg = pcv.msm_pallas(dcv.G2, sig_aff, r_plain, nbits=64)
+            return (
+                jacobian_to_affine(dcv.G1, apk),
+                jacobian_to_affine(dcv.G2, asg),
+            )
+
+        _jit_rlc_pallas_agg = jax.jit(agg)
+    pk_a, sg_a = _jit_rlc_pallas_agg(pk_aff, sig_aff, r_plain)
+
+    h1 = jax.tree_util.tree_map(
+        lambda a: a if a.ndim == 2 else a[None], h_jac
+    )
+    h_a = jacobian_to_affine(dcv.G2, h1)
+
+    def bc(tree):
+        def one(a):
+            if a.ndim and a.shape[0] == 1:  # [1, 24] / [1] batched leaves
+                return jnp.broadcast_to(a, (check_batch,) + a.shape[1:])
+            return jnp.broadcast_to(a, (check_batch,) + a.shape)
+
+        return jax.tree_util.tree_map(one, tree)
+
+    ok = verify_batch_pallas_jit(bc(pk_a), bc(h_a), bc(sg_a))
+    return ok[0]
 
 
 def verify_sig_shares_rlc_stepwise(pk_aff, h_jac, sig_aff, r_plain):
@@ -174,8 +232,8 @@ def _rlc_aggregate_pairs(pk_aff, h_jac, sig_aff, r_plain):
     """(Σ rᵢ·pkᵢ, −G1) × (H, Σ rᵢ·sigᵢ) as [2]-pair affine pytrees."""
     pk_jac = affine_to_jacobian(dcv.G1, pk_aff)
     sig_jac = affine_to_jacobian(dcv.G2, sig_aff)
-    agg_pk = dcv.G1.msm(pk_jac, r_plain, nbits=64)
-    agg_sig = dcv.G2.msm(sig_jac, r_plain, nbits=64)
+    agg_pk = dcv.G1.msm_scalarwise(pk_jac, r_plain, nbits=64)
+    agg_sig = dcv.G2.msm_scalarwise(sig_jac, r_plain, nbits=64)
     pk1 = jax.tree_util.tree_map(lambda a: a[None], agg_pk)
     sg1 = jax.tree_util.tree_map(lambda a: a[None], agg_sig)
     pk_a = jacobian_to_affine(dcv.G1, pk1)
@@ -288,7 +346,15 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
     """
     lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
     lam_plain = frops.fr_to_plain(lam_mont)
-    out = curve.msm(shares_jac, lam_plain, window=window)
+    n = xs_mont.shape[0]
+    if n > 256:
+        # Large combines: the windowed MSM's per-digit reduction tree
+        # (log N distinct shapes × 64 digits) makes XLA compile for tens
+        # of minutes; the scalar-wise form trades ~4× point-op work for a
+        # graph that compiles in seconds and stays lane-saturated.
+        out = curve.msm_scalarwise(shares_jac, lam_plain, window=window)
+    else:
+        out = curve.msm(shares_jac, lam_plain, window=window)
     return out, ok
 
 
