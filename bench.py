@@ -6,14 +6,18 @@ upgrade earlier ones.  Stage order is chosen so a valid line lands within
 minutes no matter what happens later (VERDICT r2 #1: the round-2 bench
 burned its whole budget on a cold Pallas compile and printed nothing):
 
-  1. stepwise per-pair verification  — small jitted kernels, ~4 min cold,
-     prints the first JSON line.
-  2. RLC batch verification          — the protocol's dominant pattern (N
-     same-message share verifies, `/root/reference/src/lib.rs:177-179` in a
-     loop) as two 64-bit MSMs + ONE pairing check; upgrades the headline.
-  3. Pallas per-pair pipeline        — run in a SUBPROCESS under the
-     remaining wall-clock budget (a compile cannot be interrupted
-     in-process; a child can be killed), upgrades if it finishes.
+  1. stepwise per-pair verification  — small jitted kernels, ~3-8 min cold
+     (~2.5 min with a warm .jax_cache), prints the first JSON line.
+  2. (off-TPU only) stepwise RLC batch verification.
+  3. child subprocess under the remaining wall-clock budget (a compile
+     cannot be interrupted in-process; a child can be killed):
+     (a) Pallas per-pair pipeline (the fused megakernel path), then
+     (b) Pallas-MSM RLC batch verification — the protocol's dominant
+         pattern (N same-message share verifies,
+         `/root/reference/src/lib.rs:177-179` in a loop) as two 64-bit
+         MSMs + ONE replicated product check that reuses (a)'s compiled
+         executable.  Each prints a stage line the parent folds into an
+         upgraded result line.
 
 The headline `value` is the best measured share-verification rate;
 `vs_baseline` is value / 1e5 (the ≥1e5 verifies/s/chip build target —
@@ -123,7 +127,7 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     batch = args.batch or (512 if on_tpu else 16)
-    rlc_batch = getattr(args, "rlc_batch", 0) or (4096 if on_tpu else 32)
+    rlc_batch = getattr(args, "rlc_batch", 0) or (16384 if on_tpu else 32)
 
     from threshold_crypto_tpu import ops
     from threshold_crypto_tpu.device import pairing as dpr

@@ -138,3 +138,96 @@ def test_msm_pallas_matches_msm_naive():
 
 
 import jax  # noqa: E402  (used in the test above)
+
+
+def _check_step4(curve, curve_host, impl):
+    """Windowed step: out == 16·T (+ d·P for digit d), incl. special lanes."""
+    n = 128
+    pts = _host_points(curve_host, n)
+    qs = _host_points(curve_host, n)
+    digits = [rnd.randrange(16) for _ in range(n)]
+    digits[0] = 0              # no-add lane
+    digits[1] = 7              # T at infinity lane (below)
+    # lane 2: 16T == d·Q (doubling case inside the full add)
+    digits[2] = 3
+    T_host = list(pts)
+    qs[2] = curve_host.mul(T_host[2], pow(3, -1, R) * 16 % R)
+    # lane 3: 16T == -(d·Q) (cancellation)
+    digits[3] = 5
+    qs[3] = curve_host.mul(T_host[3], (-pow(5, -1, R) * 16) % R)
+
+    T = curve.from_host_affine(
+        [None if i == 1 else p for i, p in enumerate(T_host)]
+    )
+    Q_jac = curve.from_host_affine(qs)
+
+    # XLA expectation: 16T + d·Q via generic ops
+    acc = T
+    for _ in range(4):
+        acc = curve.double(acc)
+    scal = np.zeros((n, 16), np.uint32)
+    for i, d in enumerate(digits):
+        scal[i, 0] = d
+    dq = curve.scalar_mul_naive(Q_jac, jnp.asarray(scal), nbits=4)
+    exp = curve.add(acc, dq)
+
+    # build the packed 15-entry Jacobian table the driver would build
+    entries = []
+    cur = Q_jac
+    entries.append(cur)
+    for _ in range(14):
+        cur = curve.add(cur, Q_jac)
+        entries.append(cur)
+    tab_comps = []
+    from threshold_crypto_tpu.device.pallas_curve import _jac_comps
+    for e in entries:
+        tab_comps += [c.reshape(n, pcv.L) for c in _jac_comps(curve, e)]
+    tab_packed = ptw.pack(tab_comps, n)
+
+    accp = _pack_jac(curve, T, n)
+    R_ = ptw.pack_rows(n)
+    digit_plane = jnp.pad(
+        jnp.asarray(np.array(digits, np.uint32)), (0, R_ * ptw.LANES - n)
+    ).reshape(1, R_, 128)
+    ptw.DIRECT = True
+    try:
+        out = impl(accp, tab_packed, digit_plane)
+    finally:
+        ptw.DIRECT = False
+    got = _unpack_jac(curve, out, n)
+    ok = np.asarray(curve.eq(got, exp))
+    assert ok.all(), f"lanes differ: {np.nonzero(~ok)[0][:8]}"
+
+
+def test_g1_msm_step4_matches_xla():
+    _check_step4(dcv.G1, hcv.G1, pcv._g1_step4_impl)
+
+
+def test_g2_msm_step4_matches_xla():
+    _check_step4(dcv.G2, hcv.G2, pcv._g2_step4_impl)
+
+
+def test_msm_pallas_w4_matches_msm_naive():
+    """8-bit end-to-end msm_pallas window=4 (DIRECT) == XLA msm_naive."""
+    from threshold_crypto_tpu.device import pairing as dpr
+
+    n = 8
+    pts = _host_points(hcv.G1, n)
+    pts[5] = None
+    aff = dpr.g1_affine_from_host(pts)
+    scalars = np.zeros((n, 16), np.uint32)
+    for i in range(n):
+        scalars[i, 0] = rnd.randrange(256)  # 8-bit scalars
+    scalars = jnp.asarray(scalars)
+
+    ptw.DIRECT = True
+    try:
+        got = pcv.msm_pallas(dcv.G1, aff, scalars, nbits=8, window=4)
+    finally:
+        ptw.DIRECT = False
+
+    jac = dcv.G1.from_host_affine(pts)
+    want = dcv.G1.msm_naive(jac, scalars, nbits=8)
+    got1 = jax.tree_util.tree_map(lambda a: a[None], got)
+    want1 = jax.tree_util.tree_map(lambda a: a[None], want)
+    assert bool(np.asarray(dcv.G1.eq(got1, want1))[0])

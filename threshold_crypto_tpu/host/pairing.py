@@ -141,6 +141,12 @@ def _exp_by_x(f):
 
 
 def final_exponentiation(f):
+    # NOTE: the lattice hard-part chain below equals 3·(p^4-p^2+1)/r, so
+    # this returns the CUBE of the definitional reduced pairing
+    # f^((p^12-1)/r) (asserted in tests/test_vectors.py).  gcd(3, r) = 1,
+    # so every equality-based use — both reference verify paths compare
+    # pairings only for equality (/root/reference/src/lib.rs:109,185,511) —
+    # is unaffected, and GT elements never serialize.
     # Easy part: f^((p^6 - 1)(p^2 + 1))
     f = tw.fq12_mul(tw.fq12_conj(f), tw.fq12_inv(f))       # f^(p^6 - 1)
     f = tw.fq12_mul(tw.fq12_frob(f, 2), f)                 # ^(p^2 + 1)

@@ -189,8 +189,10 @@ def verify_sig_shares_rlc_pallas(pk_aff, h_jac, sig_aff, r_plain,
         from ..device import pallas_curve as pcv
 
         def agg(pk_aff, sig_aff, r_plain):
-            apk = pcv.msm_pallas(dcv.G1, pk_aff, r_plain, nbits=64)
-            asg = pcv.msm_pallas(dcv.G2, sig_aff, r_plain, nbits=64)
+            apk = pcv.msm_pallas(dcv.G1, pk_aff, r_plain, nbits=64,
+                                 window=4)
+            asg = pcv.msm_pallas(dcv.G2, sig_aff, r_plain, nbits=64,
+                                 window=4)
             return (
                 jacobian_to_affine(dcv.G1, apk),
                 jacobian_to_affine(dcv.G2, asg),
@@ -271,20 +273,30 @@ def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
     from ..utils.rng import ChaChaRng
 
     material = bytes(seed) + n.to_bytes(8, "little")
-    for tree in list(trees) + [pk_aff, sig_aff, h_jac]:
-        if tree is None:
-            continue
-        for leaf in jax.tree_util.tree_leaves(tree):
-            material += _np.asarray(jax.device_get(leaf)).tobytes()
+    absorb = [
+        t for t in list(trees) + [pk_aff, sig_aff, h_jac] if t is not None
+    ]
+    if absorb:  # one bulk device->host transfer for the whole transcript
+        for leaf in jax.tree_util.tree_leaves(jax.device_get(absorb)):
+            material += _np.asarray(leaf).tobytes()
     digest = hashing.sha3_256(material)
-    rng = ChaChaRng.from_seed(digest)
+
+    from ..native import chacha20_words
+
+    words = chacha20_words(digest, 0, 2 * n)
+    if words is not None:  # native bulk stream (the fast path)
+        w = _np.asarray(words, _np.uint64)
+        v = w[0::2] | (w[1::2] << _np.uint64(32))
+    else:  # pure-Python fallback, same stream order
+        rng = ChaChaRng.from_seed(digest)
+        v = _np.asarray([rng.next_u64() for _ in range(n)], _np.uint64)
+    # a zero exponent would drop its share from the check; substitute 1
+    # (probability n·2⁻⁶⁴ — deterministic and path-independent)
+    v = _np.where(v == 0, _np.uint64(1), v)
     out = _np.zeros((n, 16), _np.uint32)
-    for i in range(n):
-        v = 0
-        while v == 0:
-            v = rng.next_u64()
-        for limb in range(4):
-            out[i, limb] = (v >> (16 * limb)) & 0xFFFF
+    for limb in range(4):
+        out[:, limb] = ((v >> _np.uint64(16 * limb))
+                        & _np.uint64(0xFFFF)).astype(_np.uint32)
     return jnp.asarray(out)
 
 
@@ -341,20 +353,20 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
     Returns (point pytree [], ok[]) — ok False on duplicate/zero x
     (the reference's DuplicateEntry, `/root/reference/src/lib.rs:763`).
 
-    window=1 skips the window-table build (a multi-minute XLA:CPU compile)
-    — used by the CPU dryrun, where compile latency is the whole cost.
+    window=1 routes through the plain bit-scan `msm` (no table build, a
+    shared accumulator) — the CPU dryrun path, where that graph is proven
+    to compile in minutes.  Other windows route through `msm_scalarwise`:
+    the windowed MSM's unrolled table build (2^w−2 point-op bodies) and
+    per-digit reduction trees cost ~28 s of XLA:TPU compile PER BODY, tens
+    of minutes total, while the scalar-wise scan+fold compiles in ~2 min
+    at any N.
     """
     lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
     lam_plain = frops.fr_to_plain(lam_mont)
-    n = xs_mont.shape[0]
-    if n > 256:
-        # Large combines: the windowed MSM's per-digit reduction tree
-        # (log N distinct shapes × 64 digits) makes XLA compile for tens
-        # of minutes; the scalar-wise form trades ~4× point-op work for a
-        # graph that compiles in seconds and stays lane-saturated.
-        out = curve.msm_scalarwise(shares_jac, lam_plain, window=window)
+    if window == 1:
+        out = curve.msm(shares_jac, lam_plain, window=1)
     else:
-        out = curve.msm(shares_jac, lam_plain, window=window)
+        out = curve.msm_scalarwise(shares_jac, lam_plain, window=1)
     return out, ok
 
 

@@ -90,10 +90,11 @@ def sharded_combine(mesh, curve: dcv.DeviceCurve, shares_jac, xs_mont,
             shares_jac,
         )
         lam_r = resh(lam_plain)
-        # per-device partial MSMs; scalar-wise above 256 lanes/device for
-        # compile-tractable graphs (cf. ops.combine_batch)
-        msm = curve.msm_scalarwise if n // n_dev > 256 else curve.msm
-        partials = jax.vmap(msm)(shares_r, lam_r)  # [n_dev] points
+        # per-device partial MSMs, scalar-wise (compile-tractable at any
+        # per-device lane count; cf. ops.combine_batch)
+        partials = jax.vmap(
+            lambda p, s: curve.msm_scalarwise(p, s, window=1)
+        )(shares_r, lam_r)  # [n_dev] points
         return dcv._tree_sum(curve, partials), ok
 
     with mesh:
