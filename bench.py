@@ -9,15 +9,16 @@ burned its whole budget on a cold Pallas compile and printed nothing):
   1. stepwise per-pair verification  — small jitted kernels, ~3-8 min cold
      (~2.5 min with a warm .jax_cache), prints the first JSON line.
   2. (off-TPU only) stepwise RLC batch verification.
-  3. child subprocess under the remaining wall-clock budget (a compile
-     cannot be interrupted in-process; a child can be killed):
+  3. a child subprocess launched CONCURRENTLY with stage 1 (the chip and
+     compile service tolerate two clients; a child can also be killed at
+     the deadline, which an in-process compile cannot):
      (a) Pallas per-pair pipeline (the fused megakernel path), then
      (b) Pallas-MSM RLC batch verification — the protocol's dominant
          pattern (N same-message share verifies,
          `/root/reference/src/lib.rs:177-179` in a loop) as two 64-bit
-         MSMs + ONE replicated product check that reuses (a)'s compiled
-         executable.  Each prints a stage line the parent folds into an
-         upgraded result line.
+         windowed MSMs + ONE replicated product check that reuses (a)'s
+         compiled executable.  The parent collects both stage lines under
+         the remaining budget and emits an upgraded result line.
 
 The headline `value` is the best measured share-verification rate;
 `vs_baseline` is value / 1e5 (the ≥1e5 verifies/s/chip build target —
@@ -139,13 +140,11 @@ def main() -> None:
     # ---- child mode: pallas per-pair, then Pallas-MSM RLC (shares the
     # per-pair executable for its aggregate check); one stage line each ----
     if args.child_pallas:
-        out, best, compile_s = _measure(
-            ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
-            args.iters, np, jax,
-        )
-        assert out.all(), f"pallas verification batch failed: {out[:8]}"
-        _emit({"stage": "pallas", "per_pair": batch / best,
-               "compile_s": round(compile_s, 1)})
+        # RLC first: its aggregate check compiles the shared per-pair
+        # executable (verify_batch_pallas_jit at the same shapes), so the
+        # per-pair measurement afterwards is nearly free — and if the
+        # parent's deadline kills this child, the line lost is the smaller
+        # one, not the 6x-better RLC headline.
         try:
             rate, extras = _bench_rlc_pallas(
                 rlc_batch, batch, args.iters, np, jax
@@ -154,7 +153,30 @@ def main() -> None:
         except Exception as e:
             print(f"# rlc_pallas stage failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+        out, best, compile_s = _measure(
+            ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
+            args.iters, np, jax,
+        )
+        assert out.all(), f"pallas verification batch failed: {out[:8]}"
+        _emit({"stage": "pallas", "per_pair": batch / best,
+               "compile_s": round(compile_s, 1)})
         return
+
+    # ---- launch the Pallas child NOW, concurrent with stage 1: the chip
+    # and the remote compile service both tolerate two clients, and the
+    # child's cold compile is the long pole (VERDICT r3 rehearsals: stage 1
+    # alone can eat 150-480 s; serializing the stages made upgrades miss
+    # the deadline).  The parent collects it under the remaining budget
+    # after stage 1; stage 1's line lands regardless. ---------------------
+    child = None
+    if args.path != "stepwise" and on_tpu:
+        cmd = [sys.executable, os.path.abspath(__file__), "--child-pallas",
+               "--batch", str(batch), "--rlc-batch", str(rlc_batch),
+               "--iters", str(args.iters)]
+        child = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
 
     result = {
         "metric": "bls_share_verifications_per_sec_per_chip",
@@ -230,63 +252,45 @@ def main() -> None:
             print(f"# rlc stage failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
-    # ---- stage 3: pallas per-pair, subprocess under remaining budget ------
-    remaining = args.deadline - _elapsed() - 20
-    if args.path != "stepwise" and on_tpu and remaining > 90:
-        cmd = [sys.executable, os.path.abspath(__file__), "--child-pallas",
-               "--batch", str(batch), "--iters", str(args.iters)]
+    # ---- stage 3: collect the concurrent Pallas child under the budget ----
+    if child is not None:
+        remaining = max(args.deadline - _elapsed() - 15, 1)
+        stage = rlc_stage = None
         try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=remaining,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            stage = None
-            for line in proc.stdout.splitlines():
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if obj.get("stage") == "pallas":
-                    stage = obj
-            rlc_stage = None
-            for line in proc.stdout.splitlines():
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if obj.get("stage") == "rlc_pallas":
-                    rlc_stage = obj
-            if stage is not None:
-                result["per_pair_verifies_per_sec"] = round(
-                    stage["per_pair"], 2
-                )
-                result["per_pair_path"] = "pallas"
-                result["pallas_compile_s"] = stage["compile_s"]
-                fq_mul_rate = stage["per_pair"] * FQ_MULS_PER_VERIFY
-                result["fq_mul_rate"] = round(fq_mul_rate)
-                result["vpu_utilization"] = round(
-                    fq_mul_rate * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
-                )
-                set_headline(stage["per_pair"], "per_pair_pallas")
-                if rlc_stage is not None:
-                    result["rlc_share_verifies_per_sec"] = round(
-                        rlc_stage["rate"], 2
-                    )
-                    result["rlc_batch"] = rlc_stage.get("rlc_batch")
-                    result["rlc_compile_s"] = rlc_stage.get("compile_s")
-                    set_headline(rlc_stage["rate"], "rlc_batch_pallas")
-                _emit(result)
-                print(f"# stage3 pallas: {stage['per_pair']:.1f}/s "
-                      f"compile={stage['compile_s']}s "
-                      f"elapsed={_elapsed():.0f}s", file=sys.stderr)
-            else:
-                print("# pallas child produced no stage line "
-                      f"(rc={proc.returncode}): "
-                      f"{proc.stderr.strip().splitlines()[-3:]}",
-                      file=sys.stderr)
+            out_text, _ = child.communicate(timeout=remaining)
         except subprocess.TimeoutExpired:
+            child.kill()
+            out_text, _ = child.communicate()
             print(f"# pallas child hit the {remaining:.0f}s budget; "
                   "keeping earlier result", file=sys.stderr)
+        for line in (out_text or "").splitlines():
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if obj.get("stage") == "pallas":
+                stage = obj
+            elif obj.get("stage") == "rlc_pallas":
+                rlc_stage = obj
+        if stage is not None:
+            result["per_pair_verifies_per_sec"] = round(stage["per_pair"], 2)
+            result["per_pair_path"] = "pallas"
+            result["pallas_compile_s"] = stage["compile_s"]
+            fq_mul_rate = stage["per_pair"] * FQ_MULS_PER_VERIFY
+            result["fq_mul_rate"] = round(fq_mul_rate)
+            result["vpu_utilization"] = round(
+                fq_mul_rate * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
+            )
+            set_headline(stage["per_pair"], "per_pair_pallas")
+        if rlc_stage is not None:
+            result["rlc_share_verifies_per_sec"] = round(
+                rlc_stage["rate"], 2
+            )
+            result["rlc_batch"] = rlc_stage.get("rlc_batch")
+            result["rlc_compile_s"] = rlc_stage.get("compile_s")
+            set_headline(rlc_stage["rate"], "rlc_batch_pallas")
+        if stage is not None or rlc_stage is not None:
+            _emit(result)
 
     print(f"# done: value={result['value']} mode={result.get('mode')} "
           f"elapsed={_elapsed():.0f}s", file=sys.stderr)
