@@ -104,3 +104,21 @@ def test_generator_matches_host(groups):
     dg, hg = groups
     g = dg.generator((1,))
     assert dg.to_host_affine(g) == [hg.generator]
+
+
+def test_scalar_mul_unbatched(groups):
+    """Unbatched (no leading batch dim) scalar_mul: the windowed table's
+    gather path must handle [2^w, L] leaves (ADVICE r2: a former ndim-2
+    special case in _table_select broke exactly this)."""
+    import jax
+
+    dg, hg = groups
+    pt = _host_pts(hg, [7])[0]
+    d = jax.tree_util.tree_map(
+        lambda a: a[0], dg.from_host_affine([pt])
+    )  # strip the batch dim entirely
+    k = 0x1234567
+    klimbs = dcv.fr_limbs_from_ints([k])[0]
+    out = dg.scalar_mul(d, klimbs, nbits=32)
+    got = dg.to_host_affine(jax.tree_util.tree_map(lambda a: a[None], out))
+    assert got == [hg.mul(pt, k)]
