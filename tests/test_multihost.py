@@ -48,7 +48,7 @@ def test_two_process_runtime_and_broadcast():
     """World size 2 for real: initialize, 4-device global mesh, dealer
     broadcast of serialized protocol bytes, replicated-state guard, and one
     cross-process SPMD reduction."""
-    outs = _run_two_process("basic", timeout=240)
+    outs = _run_two_process("basic", timeout=480)
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER-OK {i}" in out
@@ -58,7 +58,7 @@ def test_two_process_runtime_and_broadcast():
 def test_two_process_sharded_combine():
     """Sharded sign + Lagrange combine across the 2-process mesh equals the
     host-oracle combine (compile-heavy: real G2 math on XLA:CPU)."""
-    outs = _run_two_process("combine", timeout=900)
+    outs = _run_two_process("combine", timeout=1800)
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER-OK {i}" in out

@@ -220,6 +220,11 @@ def test_derive_shares_matches_host_poly(sig_setup):
 def test_verify_sig_shares_rlc(sig_setup):
     """Small-exponent batch verification: all-valid passes, one corrupt
     share fails the aggregate check."""
+    # This compiles the largest XLA:CPU programs of the module (scan-fold
+    # MSMs + the fused pairing check); drop the executables accumulated by
+    # the earlier tests first or the process hits the known XLA:CPU JIT
+    # code-memory exhaustion segfault (cf. conftest's per-module clearing).
+    jax.clear_caches()
     _, _, h_host, _, sks, pk_host, sig_host = sig_setup
     n = len(sks)
     pk_aff = dpr.g1_affine_from_host(pk_host)
