@@ -116,7 +116,7 @@ def run_combine(mesh):
     with mesh:
         sig_jac = dcv.G2.scalar_mul_stepwise(h_jac, sk_plain, window=1)
         combined, ok = jax.jit(ops.combine_batch, static_argnums=(0, 3))(
-            dcv.G2, sig_jac, xs_mont, 1
+            dcv.G2, sig_jac, xs_mont, "bitscan"
         )
         ok = bool(jax.device_get(ok))
         combined = jax.tree_util.tree_map(jax.device_get, combined)

@@ -107,3 +107,16 @@ def test_parity_matches_reference_rule():
         for byte in raw:
             acc ^= byte
         assert sig.parity() == (bin(acc).count("1") % 2 == 1)
+
+
+def test_mock_backend_pairing_check():
+    """Mock pairing_check matches the BLS backend's L0 surface
+    (VERDICT r3 weak #6): prod e(P_i, Q_i) == 1 becomes a sum check in
+    the additive mock GT."""
+    with tc.using("mock") as b:
+        p, q = b.G1(3), b.G2(5)
+        # e(p, q) · e(-p, q) == 1
+        assert b.pairing_check([(p, q), (p.neg(), q)])
+        assert not b.pairing_check([(p, q), (p, q)])
+        # same surface as the BLS backend
+        assert b.pairing_eq(p, q, p, q)

@@ -227,7 +227,8 @@ def test_verify_signature_shares_batch(backend, rng):
         i: sk_set.secret_key_share(i).sign(msg) for i in range(5)
     }
     assert pk_set.verify_signature_shares(shares, msg, rng)
-    assert pk_set.verify_signature_shares({}, msg, rng)
+    with pytest.raises(ValueError):  # empty input must not pass vacuously
+        pk_set.verify_signature_shares({}, msg, rng)
     # corrupt one share -> aggregate check must fail
     bad = dict(shares)
     bad[3] = sk_set.secret_key_share(4).sign(msg)  # wrong signer for index

@@ -241,6 +241,15 @@ class _MockBackend:
         return _mock.pairing(g1el.v, g2el.v)
 
     @staticmethod
+    def pairing_check(pairs) -> bool:
+        """True iff the product of pairings is the GT identity.  Mock GT is
+        additive (e(P,Q) = P·Q over Z/MS8), so the product check becomes a
+        sum check — keeps the mock's L0 surface identical to the BLS
+        backend's (VERDICT r3 weak #6: code written against
+        `pairing_check` must run under both backends)."""
+        return sum(_mock.pairing(p.v, q.v) for p, q in pairs) % _mock.MS8 == 0
+
+    @staticmethod
     def pairing_eq(p1, q1, p2, q2) -> bool:
         # Mock GT is additive (e(P,Q) = P·Q over Z/MS8): plain equality.
         return _mock.pairing(p1.v, q1.v) == _mock.pairing(p2.v, q2.v)

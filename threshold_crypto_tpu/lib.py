@@ -427,14 +427,19 @@ class PublicKeySet:
         fall back to per-share `verify` to identify the cheater.
 
         `shares`: {i: SignatureShare} or iterable of (i, SignatureShare).
-        The TPU-batched form of the same check is
+        Empty input raises ValueError — a vacuous True would let an
+        upstream filtering bug masquerade as a passed verification
+        (ADVICE r3).  The TPU-batched form of the same check is
         `ops.verify_sig_shares_rlc` (device affine pytrees in, one MSM +
         one product check on the mesh).
         """
         b = get_backend()
         items = list(_iter_share_items(shares))
         if not items:
-            return True
+            raise ValueError(
+                "verify_signature_shares: no shares supplied (refusing the "
+                "vacuous-truth result)"
+            )
         hash_pt = hash_g2(msg)
         pks = [self.public_key_share(i).pk.el for i, _ in items]
         sigs = [s.sig.el for _, s in items]

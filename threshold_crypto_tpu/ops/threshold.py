@@ -343,7 +343,7 @@ def _neg_aff(curve, aff):
 # ---------------------------------------------------------------------------
 
 def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
-                  window: int = 4):
+                  path: str = "scalarwise"):
     """Σ_i λ_i · share_i with λ from the batch's x coordinates.
 
     curve: dcv.G2 for signature shares, dcv.G1 for decryption shares.
@@ -353,20 +353,24 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
     Returns (point pytree [], ok[]) — ok False on duplicate/zero x
     (the reference's DuplicateEntry, `/root/reference/src/lib.rs:763`).
 
-    window=1 routes through the plain bit-scan `msm` (no table build, a
-    shared accumulator) — the CPU dryrun path, where that graph is proven
-    to compile in minutes.  Other windows route through `msm_scalarwise`:
-    the windowed MSM's unrolled table build (2^w−2 point-op bodies) and
-    per-digit reduction trees cost ~28 s of XLA:TPU compile PER BODY, tens
-    of minutes total, while the scalar-wise scan+fold compiles in ~2 min
-    at any N.
+    `path` selects the MSM structure (ADVICE r3: this is a routing choice,
+    not a window width — both routes run window=1 ladders internally):
+
+    * "scalarwise" (default): N independent bit-scan ladders + one
+      scan-fold reduction — the TPU path (compiles in ~2 min at any N;
+      windowed table builds would cost ~28 s of XLA:TPU compile per
+      unrolled point-op body, tens of minutes total).
+    * "bitscan": one shared accumulator over `curve.msm` — the CPU dryrun
+      path, where that graph shape is proven to compile in minutes.
     """
     lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
     lam_plain = frops.fr_to_plain(lam_mont)
-    if window == 1:
+    if path == "bitscan":
         out = curve.msm(shares_jac, lam_plain, window=1)
-    else:
+    elif path == "scalarwise":
         out = curve.msm_scalarwise(shares_jac, lam_plain, window=1)
+    else:
+        raise ValueError(f"unknown combine path {path!r}")
     return out, ok
 
 

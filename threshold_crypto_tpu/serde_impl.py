@@ -159,6 +159,16 @@ def serialize(obj) -> bytes:
         # `/root/reference/src/poly.rs:39-43`) — downstream DKG protocols
         # put serialized rows on the wire.  Same bytes as the SerdeSecret
         # form; prefer SerdeSecret(poly) to make the secret flow explicit.
+        # ADVICE r3: earlier rounds raised TypeError here as a secret-leak
+        # guard; warn once so callers relying on that guard notice.
+        import warnings
+
+        warnings.warn(
+            "serialize(Poly) emits SECRET coefficients (reference-"
+            "compatible); wrap in SerdeSecret(poly) to make the secret "
+            "flow explicit",
+            stacklevel=2,
+        )
         return _ser_vec(obj.coeff, _ser_fr)
     if isinstance(obj, BivarCommitment):
         return struct.pack("<Q", obj.degree()) + _ser_vec(obj.coeff, _ser_g1)
