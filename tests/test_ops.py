@@ -260,3 +260,136 @@ def test_scalar_mul_stepwise_matches_scan():
     a = dcv.G1.to_host_affine(dcv.G1.scalar_mul(base, kl))
     b = dcv.G1.to_host_affine(dcv.G1.scalar_mul_stepwise(base, kl))
     assert a == b == [hcv.G1.mul(hcv.G1.generator, k) if k else None for k in ks]
+
+
+# ---------------------------------------------------------------------------
+# Batched device encrypt (Baek–Zhang, `/root/reference/src/lib.rs:128-137`)
+# ---------------------------------------------------------------------------
+
+def test_encrypt_batch_matches_host():
+    """Device u/g/w (three batched scalar-muls) == host formulas with the
+    same r; assembled ciphertexts pass both the host CCA gate and the
+    batched device gate, and decrypt correctly."""
+    import threshold_crypto_tpu as tc
+    from threshold_crypto_tpu.backend import get_backend
+    from threshold_crypto_tpu.hashing import hash_g1_g2
+    from threshold_crypto_tpu.lib import xor_with_hash
+
+    b = get_backend()
+    n = 3
+    sk = rnd.randrange(1, R)
+    pk_el = b.G1.one().mul(sk)
+    rs = [rnd.randrange(1, R) for _ in range(n)]
+    msgs = [b"batched encrypt %d" % i for i in range(n)]
+
+    r_plain = dcv.fr_limbs_from_ints(rs)
+    pk_jac = dcv.G1.from_host_affine([pk_el.v] * n)
+    u_jac, g_jac = tops.encrypt_begin_batch(pk_jac, r_plain)
+    u_els = [b.G1(p) for p in dcv.G1.to_host_affine(u_jac)]
+    g_els = [b.G1(p) for p in dcv.G1.to_host_affine(g_jac)]
+    # host-formula parity for the device half 1
+    for i, r in enumerate(rs):
+        assert u_els[i] == b.G1.one().mul(r)
+        assert g_els[i] == pk_el.mul(r)
+
+    # host KDF between the halves
+    vs = [xor_with_hash(g_els[i], msgs[i]) for i in range(n)]
+    huvs = [hash_g1_g2(u_els[i], vs[i]) for i in range(n)]
+    huv_jac = dcv.G2.from_host_affine([h.v for h in huvs])
+    w_jac = tops.encrypt_finish_batch(huv_jac, r_plain)
+    w_els = [b.G2(p) for p in dcv.G2.to_host_affine(w_jac)]
+    for i, r in enumerate(rs):
+        assert w_els[i] == huvs[i].mul(r)
+
+    # assembled ciphertexts: host CCA gate + decrypt roundtrip
+    for i in range(n):
+        ct = tc.Ciphertext(u_els[i], vs[i], w_els[i])
+        assert ct.verify()
+        g_dec = u_els[i].mul(sk)
+        assert xor_with_hash(g_dec, ct.v) == msgs[i]
+
+    # batched device CCA gate accepts the whole batch
+    u_aff = ops.jacobian_to_affine(dcv.G1, u_jac)
+    w_aff = ops.jacobian_to_affine(dcv.G2, w_jac)
+    huv_aff = ops.jacobian_to_affine(dcv.G2, huv_jac)
+    ok = np.asarray(ops.ciphertext_verify_batch(u_aff, w_aff, huv_aff))
+    assert ok.all()
+
+    # one-call form agrees
+    u2, g2, w2 = ops.encrypt_batch(pk_jac, r_plain, huv_jac)
+    assert np.asarray(dcv.G1.eq(u2, u_jac)).all()
+    assert np.asarray(dcv.G1.eq(g2, g_jac)).all()
+    assert np.asarray(dcv.G2.eq(w2, w_jac)).all()
+
+
+# ---------------------------------------------------------------------------
+# Batched device DKG (`/root/reference/src/poly.rs:607-632,693-726`)
+# ---------------------------------------------------------------------------
+
+def test_device_dkg_scenario():
+    """The ported DKG scenario with every dealer/verifier hot loop on the
+    device: ONE batched fixed-base mul for the triangular commitment, rows
+    for ALL nodes via batched row eval, and the per-value checks via
+    batched in-exponent evaluation — asserted against the host-path
+    BivarPoly/BivarCommitment at each step."""
+    import threshold_crypto_tpu as tc
+    from threshold_crypto_tpu.poly import BivarPoly, Poly
+    from threshold_crypto_tpu.utils.rng import ChaChaRng
+
+    b = tc.get_backend()
+    rng = ChaChaRng(b"\x07" * 32)
+    dealer_num, node_num, f = 2, 3, 1
+    xs = list(range(1, node_num + 1))
+    xs_mont = frops.fr_to_device(xs)
+    sec_keys = [0] * node_num
+    g1 = b.G1.one()
+
+    for _ in range(dealer_num):
+        bp = BivarPoly.random(f, rng)
+        bc_host = bp.commitment()
+
+        # dealer: commitment in ONE batched fixed-base mul
+        commit_jac = ops.bivar_commit_batch(
+            dcv.fr_limbs_from_ints(bp.coeff)
+        )
+        got = [b.G1(p) if p is not None else b.G1.zero()
+               for p in dcv.G1.to_host_affine(commit_jac)]
+        assert got == bc_host.coeff
+
+        # dealer: rows for all nodes at once
+        rows = ops.bivar_row_batch(
+            frops.fr_to_device(bp.coeff), xs_mont, f
+        )  # [M, f+1, 16]
+        for m in xs:
+            want = bp.row(m).coeff
+            got_row = frops.fr_from_device(rows[m - 1])
+            assert got_row == want
+
+        # nodes: row commitments for all nodes at once
+        rowc = ops.bivar_commit_row_batch(commit_jac, xs_mont, f)
+        for m in xs:
+            want = bc_host.row(m).coeff
+            row_m = jax.tree_util.tree_map(lambda a: a[m - 1], rowc)
+            got_row = [b.G1(p) if p is not None else b.G1.zero()
+                       for p in dcv.G1.to_host_affine(row_m)]
+            assert got_row == want
+
+        # nodes: batched value verification commit.evaluate(m, s) == val·G1
+        pairs = [(m, s) for m in xs for s in xs]
+        ev = ops.bivar_commit_eval_batch(
+            commit_jac,
+            frops.fr_to_device([p[0] for p in pairs]),
+            frops.fr_to_device([p[1] for p in pairs]),
+            f,
+        )
+        vals = [bp.evaluate(m, s) for m, s in pairs]
+        val_pts = ops.commit_batch(dcv.fr_limbs_from_ints(vals))
+        assert np.asarray(dcv.G1.eq(ev, val_pts)).all()
+
+        # protocol tail (host): reconstruct rows, accumulate secret keys
+        for m in xs:
+            honest = list(range(1, f + 2))
+            received = {i: bp.evaluate(m, i) for i in honest}
+            my_row = Poly.interpolate(received)
+            assert my_row == bp.row(m)
+            sec_keys[m - 1] = (sec_keys[m - 1] + my_row.evaluate(0)) % b.r

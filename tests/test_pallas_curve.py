@@ -10,6 +10,8 @@ the pallas_call plumbing itself is covered by test_pallas_tower.
 
 import random
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -231,3 +233,64 @@ def test_msm_pallas_w4_matches_msm_naive():
     got1 = jax.tree_util.tree_map(lambda a: a[None], got)
     want1 = jax.tree_util.tree_map(lambda a: a[None], want)
     assert bool(np.asarray(dcv.G1.eq(got1, want1))[0])
+
+
+def _check_shared(curve, curve_host, n, nbits, window=3):
+    """msm_pallas_shared (DIRECT) == host-oracle Σ k_i·P_i, with infinity
+    lanes, zero scalars, duplicate points, and (n > 1024) multi-block
+    accumulation scans."""
+    from threshold_crypto_tpu.device import pairing as dpr
+
+    pts = _host_points(curve_host, n)
+    ks = [rnd.randrange(1 << nbits) for _ in range(n)]
+    pts[1] = None          # infinity lane
+    ks[0] = 0              # zero-scalar lane
+    if n > 3:
+        pts[3] = pts[2]    # duplicate points
+
+    # host oracle
+    acc = None
+    for p, k in zip(pts, ks):
+        if p is None or k == 0:
+            continue
+        term = curve_host.mul(p, k)
+        acc = term if acc is None else curve_host.add(acc, term)
+
+    from_host = (
+        dpr.g2_affine_from_host if curve is dcv.G2 else dpr.g1_affine_from_host
+    )
+    aff = from_host(pts)
+    scal = np.zeros((n, 16), np.uint32)
+    for i, k in enumerate(ks):
+        for limb in range(4):
+            scal[i, limb] = (k >> (16 * limb)) & 0xFFFF
+    ptw.DIRECT = True
+    try:
+        got = pcv.msm_pallas_shared(curve, aff, jnp.asarray(scal),
+                                    nbits=nbits, window=window)
+    finally:
+        ptw.DIRECT = False
+    got_host = curve.to_host_affine(
+        jax.tree_util.tree_map(lambda a: a[None], got)
+    )[0]
+    assert got_host == acc, f"{curve.name} shared MSM mismatch"
+
+
+def test_msm_pallas_shared_g1_small_64bit():
+    _check_shared(dcv.G1, hcv.G1, 8, 64, window=3)
+
+
+@pytest.mark.slow
+def test_msm_pallas_shared_g2_small_64bit():
+    _check_shared(dcv.G2, hcv.G2, 8, 64, window=3)
+
+
+@pytest.mark.slow
+def test_msm_pallas_shared_g2_w4():
+    _check_shared(dcv.G2, hcv.G2, 8, 16, window=4)
+
+
+@pytest.mark.slow
+def test_msm_pallas_shared_g1_multiblock():
+    # n > 1024 exercises the multi-block inner scan + row padding
+    _check_shared(dcv.G1, hcv.G1, 1200, 8, window=3)

@@ -529,16 +529,21 @@ def scalar_bits(k_limbs, nbits: int):
 
 def scalar_digits(k_limbs, nbits: int, window: int):
     """uint32[..., L] canonical limbs -> uint32[D, ...] base-2^window digits,
-    MSB first, D = ⌈nbits/window⌉ (requires window | 16)."""
-    assert 16 % window == 0, "window must divide the 16-bit limb size"
+    MSB first, D = ⌈nbits/window⌉.  Windows may straddle the 16-bit limb
+    boundary (any window ≤ 16): digit d covers bits [d·w, (d+1)·w), read
+    from one or two adjacent limbs."""
+    assert 1 <= window <= 16
+    L = k_limbs.shape[-1]
     ndig = -(-nbits // window)
     mask = np.uint32((1 << window) - 1)
-    per_limb = 16 // window
     chunks = []
     for d in range(ndig - 1, -1, -1):
-        limb = d // per_limb
-        shift = (d % per_limb) * window
-        chunks.append((k_limbs[..., limb] >> shift) & mask)
+        bit = d * window
+        limb, shift = bit // 16, bit % 16
+        v = k_limbs[..., limb] >> shift
+        if shift + window > 16 and limb + 1 < L:
+            v = v | (k_limbs[..., limb + 1] << (16 - shift))
+        chunks.append(v & mask)
     return jnp.stack(chunks, axis=0)
 
 

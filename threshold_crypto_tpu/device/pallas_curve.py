@@ -300,6 +300,56 @@ def _jac_add(F, T, Q):
     return out
 
 
+def _jac_madd(F, T, Q):
+    """Complete mixed add: T (Jacobian) + Q (affine, not at infinity).
+
+    Handles T at infinity, T == Q (doubles) and T == −Q (infinity) via
+    selects — the Pallas analog of `curve.add` with an affine addend
+    (11 muls + the 7-mul doubling branch, vs 16+7 for `_jac_add`).
+    """
+    X, Y, Z = T
+    x2, y2 = Q
+    # L1 — z1z + doubling squares (for the T == Q branch)
+    m = F.mul_many([(Z, Z), (X, X), (Y, Y), (Y, Z)])
+    z1z, A, B, S = m
+    XpB = F.add(X, B)
+    E = F.small(A, 3)
+    # L2
+    m = F.mul_many([(x2, z1z), (z1z, Z), (B, B), (XpB, XpB), (E, E)])
+    u2, z1cu, C, XB2, E2 = m
+    h = F.sub(u2, X)
+    D = F.small(F.sub(F.sub(XB2, A), C), 2)
+    Xd = F.sub(E2, F.small(D, 2))
+    # L3
+    m = F.mul_many([(y2, z1cu), (h, h), (E, F.sub(D, Xd))])
+    s2, hh, EDX = m
+    r = F.sub(s2, Y)
+    Yd = F.sub(EDX, F.small(C, 8))
+    Zd = F.small(S, 2)
+    # L4
+    m = F.mul_many([(h, hh), (X, hh), (r, r), (Z, h)])
+    hhh, v, rr, Zn = m
+    Xn = F.sub(F.sub(rr, hhh), F.small(v, 2))
+    # L5
+    m = F.mul_many([(r, F.sub(v, Xn)), (Y, hhh)])
+    Yn = F.sub(m[0], m[1])
+
+    one = F.one_like(X)
+    zero = F.zero_like(X)
+    h0 = F.is_zero(h)
+    r0 = F.is_zero(r)
+    t_inf = F.is_zero(Z)
+
+    def sel3(c, a, b):
+        return tuple(F.select(c, a[i], b[i]) for i in range(3))
+
+    out = (Xn, Yn, Zn)
+    out = sel3(h0 & r0, (Xd, Yd, Zd), out)        # T == Q  -> 2T
+    out = sel3(h0 & ~r0, (one, one, zero), out)   # T == -Q -> infinity
+    out = sel3(t_inf, (x2, y2, one), out)         # 0 + Q -> Q
+    return out
+
+
 def _msm_step_w4(F, T, table, digit):
     """One windowed MSM scan step: T ← 16T (+ table[d−1] if d = digit ≠ 0).
 
@@ -342,10 +392,62 @@ def _mk_step4_kernel(F):
     return kernel
 
 
+def _mk_madd_kernel(F):
+    """Table-build step: acc ← acc + Q (Q affine, per lane)."""
+
+    def kernel(acc_ref, q_ref, out_ref):
+        T = tuple(F.read(acc_ref, 3))
+        q = F.read(q_ref, 2)
+        out = _jac_madd(F, T, tuple(q))
+        ptw.write_fqs(out_ref, F.flat(list(out)))
+
+    kernel.__name__ = f"_k_{F.name}_madd"
+    return kernel
+
+
+def _mk_selmadd_kernel(F, nent: int):
+    """Accumulation step of the shared-window MSM: acc ← acc + table[d−1]
+    where d = digit ≠ 0 (complete Jacobian-Jacobian add, per lane);
+    table holds nent = 2^w − 1 Jacobian multiples."""
+
+    def kernel(acc_ref, table_ref, digit_ref, out_ref):
+        T = tuple(F.read(acc_ref, 3))
+        tab = F.read(table_ref, 3 * nent)
+        table = [tuple(tab[3 * k : 3 * k + 3]) for k in range(nent)]
+        digit = digit_ref[0]
+        Q = table[0]
+        for k in range(1, nent):
+            c = digit == np.uint32(k + 1)
+            Q = tuple(F.select(c, table[k][i], Q[i]) for i in range(3))
+        s = _jac_add(F, T, Q)
+        do = digit != 0
+        out = tuple(F.select(do, s[i], T[i]) for i in range(3))
+        ptw.write_fqs(out_ref, F.flat(list(out)))
+
+    kernel.__name__ = f"_k_{F.name}_selmadd{nent}"
+    return kernel
+
+
+def _mk_dblw_kernel(F, w: int):
+    """acc ← 2^w·acc: the between-windows doubling of the shared Horner
+    accumulator (runs once per window on ONE block, not once per lane)."""
+
+    def kernel(acc_ref, out_ref):
+        T = tuple(F.read(acc_ref, 3))
+        for _ in range(w):
+            T = _jac_dbl(F, T)
+        ptw.write_fqs(out_ref, F.flat(list(T)))
+
+    kernel.__name__ = f"_k_{F.name}_dbl{w}"
+    return kernel
+
+
 _k_g1_msm_step = _mk_step_kernel(_KFq)
 _k_g2_msm_step = _mk_step_kernel(_KFq2)
 _k_g1_msm_step4 = _mk_step4_kernel(_KFq)
 _k_g2_msm_step4 = _mk_step4_kernel(_KFq2)
+_k_g1_madd = _mk_madd_kernel(_KFq)
+_k_g2_madd = _mk_madd_kernel(_KFq2)
 
 
 def _g1_step_impl(acc, q, bit):
@@ -370,6 +472,46 @@ def _g2_step4_impl(acc, table, digit):
     return ptw._call(
         _k_g2_msm_step4, [6 * L, 90 * L, 1], [6 * L], [acc, table, digit]
     )
+
+
+def _g1_madd_impl(acc, q):
+    return ptw._call(_k_g1_madd, [3 * L, 2 * L], [3 * L], [acc, q])
+
+
+def _g2_madd_impl(acc, q):
+    return ptw._call(_k_g2_madd, [6 * L, 4 * L], [6 * L], [acc, q])
+
+
+_impl_cache = {}
+
+
+def _selmadd_impl(g2: bool, nent: int):
+    key = ("selmadd", g2, nent)
+    if key not in _impl_cache:
+        F = _KFq2 if g2 else _KFq
+        kern = _mk_selmadd_kernel(F, nent)
+        nc = 3 * (2 if g2 else 1) * L  # accumulator planes
+
+        def impl(acc, table, digit, _k=kern, _nc=nc, _ne=nent):
+            return ptw._call(_k, [_nc, _ne * _nc, 1], [_nc],
+                             [acc, table, digit])
+
+        _impl_cache[key] = impl
+    return _impl_cache[key]
+
+
+def _dblw_impl(g2: bool, w: int):
+    key = ("dblw", g2, w)
+    if key not in _impl_cache:
+        F = _KFq2 if g2 else _KFq
+        kern = _mk_dblw_kernel(F, w)
+        nc = 3 * (2 if g2 else 1) * L
+
+        def impl(acc, _k=kern, _nc=nc):
+            return ptw._call(_k, [_nc], [_nc], [acc])
+
+        _impl_cache[key] = impl
+    return _impl_cache[key]
 
 
 p_g1_msm_step = jax.jit(_g1_step_impl)
@@ -514,6 +656,137 @@ def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
 
     # unpack to the XLA Jacobian pytree and fold the lanes on the XLA side
     comps_out = ptw.unpack(acc, acc_planes // L, n)
+    if g2:
+        jac = (
+            (comps_out[0], comps_out[1]),
+            (comps_out[2], comps_out[3]),
+            (comps_out[4], comps_out[5]),
+        )
+    else:
+        jac = (comps_out[0], comps_out[1], comps_out[2])
+    return dcv.fold_sum(curve, jac)
+
+
+def _packed_one_planes(R):
+    one = jnp.asarray(
+        np.array(
+            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
+        )
+    )[:, None, None]
+    return jnp.broadcast_to(one, (L, R, LANES))
+
+
+def msm_pallas_shared(curve, points_aff, scalars, nbits: int = 64,
+                      window: int = 3):
+    """Σ points_i·scalars_i via shared-window Horner accumulation.
+
+    The round-3 `msm_pallas` ladder pays 1 doubling per scalar BIT per
+    LANE (64 G2 doublings/share dominate its multiply budget) and builds
+    its window tables through the slow XLA point ops.  This form removes
+    both costs (VERDICT r3 next-step #1):
+
+    * table:  1P..15P per lane via a `lax.scan` over the Pallas mixed-add
+      kernel — 14 complete madds/lane at megakernel throughput;
+    * digits: base-16 windows processed MSB→LSB with ONE shared
+      1024-lane Horner accumulator A:  per window, A ← 16·A (4 doublings
+      on a single block — amortized to ~1/share at N=64k) followed by a
+      scan over the lane blocks  A ← A + table[digit−1]  (one complete
+      add per lane per window — 16 adds/share total);
+    * the 1024 partial sums fold once on the XLA side at the end.
+
+    ~2500 Fq-muls/share for the G1+G2 pair of 64-bit MSMs vs ~4500 for
+    the ladder (with its tables on the 3×-slower XLA path).  Accelerates
+    the reference's per-share verify loop
+    (`/root/reference/src/lib.rs:177-179`) in RLC-batched form.
+
+    Args/results exactly as `msm_pallas` (affine pytree in, unbatched
+    XLA Jacobian pytree out).  window=3 default: a 7-entry table keeps the
+    per-block table slice at ~16 MB of VMEM for G2 (2^w−1 entries; w=4's
+    15 entries would double it past the Mosaic scoped budget on
+    multi-block grids) at the same per-share multiply count.
+    """
+    from . import curve as dcv
+
+    x, y, inf = points_aff
+    g2 = curve is dcv.G2
+    n = inf.shape[0]
+    R = ptw.pack_rows(n)
+    nblk = R // ptw.TILE_ROWS
+    ncomp = 2 if g2 else 1
+    pplanes = 3 * ncomp * L
+    nent = (1 << window) - 1
+
+    # -- digits [D, nblk, 1, 8, 128], dead lanes forced to digit 0 ---------
+    live = ~inf
+    if R * LANES != n:
+        live = jnp.pad(live, (0, R * LANES - n))
+    live_rows = live.reshape(R, LANES).astype(jnp.uint32)
+    digits = dcv.scalar_digits(scalars, nbits, window)  # [D, N] MSB-first
+    ndig = digits.shape[0]
+    if R * LANES != n:
+        digits = jnp.pad(digits, ((0, 0), (0, R * LANES - n)))
+    digits = digits.reshape(ndig, R, LANES) * live_rows[None]
+    dig_blocks = digits.reshape(ndig, nblk, 1, ptw.TILE_ROWS, LANES)
+
+    # -- affine packed base + its Jacobian lift (Z = 1; dead lanes carry
+    # placeholder coordinates but their digits are 0, so never selected) --
+    comps = [x[0], x[1], y[0], y[1]] if g2 else [x, y]
+    q_packed = ptw.pack([c.reshape(n, L) for c in comps], n)
+    one_planes = _packed_one_planes(R)
+    if g2:
+        z_planes = jnp.concatenate(
+            [one_planes, jnp.zeros((L, R, LANES), jnp.uint32)], axis=0
+        )
+    else:
+        z_planes = one_planes
+    base_jac = jnp.concatenate([q_packed, z_planes], axis=0)
+
+    madd = _g2_madd_impl if g2 else _g1_madd_impl
+    selmadd = _selmadd_impl(g2, nent)
+    dblw = _dblw_impl(g2, window)
+
+    # -- per-lane multiple table 1P..(2^w−1)P, all adds in Pallas ----------
+    if ptw.DIRECT:
+        entries = [base_jac]
+        for _ in range(nent - 1):
+            entries.append(madd(entries[-1], q_packed))
+        tab = jnp.stack(entries, axis=0)
+    else:
+        def tbody(acc, _):
+            nxt = madd(acc, q_packed)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(tbody, base_jac, None, length=nent - 1)
+        tab = jnp.concatenate([base_jac[None], rest], axis=0)
+    # [nent, pplanes, R, 128] -> [nblk, nent*pplanes, 8, 128]
+    tab_blocks = (
+        tab.reshape(nent, pplanes, nblk, ptw.TILE_ROWS, LANES)
+        .transpose(2, 0, 1, 3, 4)
+        .reshape(nblk, nent * pplanes, ptw.TILE_ROWS, LANES)
+    )
+
+    # -- shared-window Horner over one accumulator block -------------------
+    acc0 = _packed_inf_jac(pplanes, ptw.TILE_ROWS)
+    if ptw.DIRECT:
+        acc = acc0
+        for w in range(ndig):
+            acc = dblw(acc)
+            for j in range(nblk):
+                acc = selmadd(acc, tab_blocks[j], dig_blocks[w, j])
+    else:
+        def inner(acc, xs):
+            tb, dg = xs
+            return selmadd(acc, tb, dg), None
+
+        def outer(acc, dig_w):
+            acc = dblw(acc)
+            acc, _ = jax.lax.scan(inner, acc, (tab_blocks, dig_w))
+            return acc, None
+
+        acc, _ = jax.lax.scan(outer, acc0, dig_blocks)
+
+    # -- unpack the 1024 partial sums and fold on the XLA side -------------
+    comps_out = ptw.unpack(acc, 3 * ncomp, ptw.TILE_ROWS * LANES)
     if g2:
         jac = (
             (comps_out[0], comps_out[1]),

@@ -23,13 +23,21 @@ from .fr import (  # noqa: F401
 )
 from .threshold import (  # noqa: F401
     affine_to_jacobian,
+    bivar_commit_batch,
+    bivar_commit_eval_batch,
+    bivar_commit_row_batch,
+    bivar_row_batch,
     ciphertext_verify_batch,
     combine_batch,
     combine_batch_stepwise,
     commit_batch,
     decrypt_share_batch,
     derive_shares,
+    encrypt_batch,
+    encrypt_begin_batch,
+    encrypt_finish_batch,
     jacobian_to_affine,
+    powers_batch,
     sign_batch,
     rlc_exponents,
     verify_batch,

@@ -83,6 +83,43 @@ def decrypt_share_batch(u_jac, sk_plain):
 
 
 # ---------------------------------------------------------------------------
+# Encrypt (batched Baek–Zhang, the one protocol stack that had no device
+# path before round 4 — VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+def encrypt_begin_batch(pk_jac, r_plain):
+    """Device half 1 of batched Baek–Zhang encryption
+    (`/root/reference/src/lib.rs:128-137`): u_i = r_i·G1 (fixed base) and
+    g_i = r_i·pk_i, two batched scalar-muls.
+
+    pk_jac: batched G1 Jacobian pytree [N] (broadcast a shared key to the
+    batch); r_plain: uint32[N, 16] canonical plain Fr limbs.  The steps
+    between the halves — v_i = m_i ⊕ H(g_i) and huv_i = hash_g1_g2(u_i,
+    v_i) — are host-side byte/KDF work on the ciphertext bytes; feed the
+    resulting H(u,v) points to `encrypt_finish_batch`.
+    """
+    n = r_plain.shape[0]
+    base = dcv.G1.generator((n,))
+    u = dcv.G1.scalar_mul(base, r_plain)
+    g = dcv.G1.scalar_mul(pk_jac, r_plain)
+    return u, g
+
+
+def encrypt_finish_batch(huv_jac, r_plain):
+    """Device half 2: w_i = r_i·H(u_i, v_i) (batched G2 scalar-mul)."""
+    return dcv.G2.scalar_mul(huv_jac, r_plain)
+
+
+def encrypt_batch(pk_jac, r_plain, huv_jac):
+    """All three scalar-muls of batched encryption in one call, for callers
+    that already hold the H(u, v) points (e.g. re-randomization, benches).
+    Returns (u_jac [N], g_jac [N], w_jac [N])."""
+    u, g = encrypt_begin_batch(pk_jac, r_plain)
+    w = encrypt_finish_batch(huv_jac, r_plain)
+    return u, g, w
+
+
+# ---------------------------------------------------------------------------
 # Verify (batched 2-pair product checks)
 # ---------------------------------------------------------------------------
 
@@ -173,33 +210,52 @@ _jit_rlc_pallas_agg = None
 
 
 def verify_sig_shares_rlc_pallas(pk_aff, h_jac, sig_aff, r_plain,
-                                 check_batch: int = 512):
-    """`verify_sig_shares_rlc` with BOTH 64-bit MSMs on the Pallas MSM
-    megakernel (`device/pallas_curve.msm_pallas`, ~10× the XLA path's
-    Fq-mul throughput) and the single aggregate check run through
-    `verify_batch_pallas` at `check_batch` replicated lanes — the exact
-    jitted function+shapes of the per-pair fast path, so a warmed process
-    (or persistent cache) pays ZERO extra compile for the check.
+                                 check_batch: int = 512,
+                                 msm: str = "shared"):
+    """`verify_sig_shares_rlc` with BOTH 64-bit MSMs on Pallas megakernels
+    and the single aggregate check run through `verify_batch_pallas` at
+    `check_batch` replicated lanes — the exact jitted function+shapes of
+    the per-pair fast path, so a warmed process (or persistent cache)
+    pays ZERO extra compile for the check.
+
+    msm="shared" (default): `pallas_curve.msm_pallas_shared` — shared-
+    window Horner accumulation, ~2× the r3 ladder's throughput (tables in
+    Pallas, no per-lane doublings).  msm="ladder": the r3 per-lane w=4
+    scan (`msm_pallas`), kept for comparison benches.
 
     This is the TPU throughput path for the reference's dominant pattern
     (N same-message share verifies, `/root/reference/src/lib.rs:177-179`).
     """
     global _jit_rlc_pallas_agg
+    key = msm
     if _jit_rlc_pallas_agg is None:
+        _jit_rlc_pallas_agg = {}
+    if key not in _jit_rlc_pallas_agg:
         from ..device import pallas_curve as pcv
 
-        def agg(pk_aff, sig_aff, r_plain):
-            apk = pcv.msm_pallas(dcv.G1, pk_aff, r_plain, nbits=64,
-                                 window=4)
-            asg = pcv.msm_pallas(dcv.G2, sig_aff, r_plain, nbits=64,
-                                 window=4)
-            return (
-                jacobian_to_affine(dcv.G1, apk),
-                jacobian_to_affine(dcv.G2, asg),
-            )
+        if msm == "shared":
+            def agg(pk_aff, sig_aff, r_plain):
+                apk = pcv.msm_pallas_shared(dcv.G1, pk_aff, r_plain,
+                                            nbits=64)
+                asg = pcv.msm_pallas_shared(dcv.G2, sig_aff, r_plain,
+                                            nbits=64)
+                return (
+                    jacobian_to_affine(dcv.G1, apk),
+                    jacobian_to_affine(dcv.G2, asg),
+                )
+        else:
+            def agg(pk_aff, sig_aff, r_plain):
+                apk = pcv.msm_pallas(dcv.G1, pk_aff, r_plain, nbits=64,
+                                     window=4)
+                asg = pcv.msm_pallas(dcv.G2, sig_aff, r_plain, nbits=64,
+                                     window=4)
+                return (
+                    jacobian_to_affine(dcv.G1, apk),
+                    jacobian_to_affine(dcv.G2, asg),
+                )
 
-        _jit_rlc_pallas_agg = jax.jit(agg)
-    pk_a, sg_a = _jit_rlc_pallas_agg(pk_aff, sig_aff, r_plain)
+        _jit_rlc_pallas_agg[key] = jax.jit(agg)
+    pk_a, sg_a = _jit_rlc_pallas_agg[key](pk_aff, sig_aff, r_plain)
 
     h1 = jax.tree_util.tree_map(
         lambda a: a if a.ndim == 2 else a[None], h_jac
@@ -266,19 +322,49 @@ def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
 
     Returns uint32[n, 16] canonical Fr limbs (low 64 bits populated, never
     zero: a zero exponent would drop a share from the check entirely).
+
+    Transcript absorption is a chunked hash tree: each leaf's byte stream
+    is split into ≤8 MiB chunks, the chunks are SHA3-256'd concurrently
+    (the native Keccak releases the GIL), and the final digest absorbs the
+    ordered chunk-digest list.  At N=65536 the transcript is ~40 MB; the
+    r3 single-stream hash serialized it at ~6 µs/share — a large slice of
+    the whole verification budget (VERDICT r3 #1b).  Point pytrees may be
+    passed as host numpy trees (the wire bytes a real verifier holds) to
+    skip the device→host transfer entirely.
     """
     import numpy as _np
 
     from .. import hashing
     from ..utils.rng import ChaChaRng
 
-    material = bytes(seed) + n.to_bytes(8, "little")
     absorb = [
         t for t in list(trees) + [pk_aff, sig_aff, h_jac] if t is not None
     ]
-    if absorb:  # one bulk device->host transfer for the whole transcript
-        for leaf in jax.tree_util.tree_leaves(jax.device_get(absorb)):
-            material += _np.asarray(leaf).tobytes()
+    chunk_digests = []
+    if absorb:
+        leaves = jax.tree_util.tree_leaves(absorb)
+        if not all(isinstance(v, _np.ndarray) for v in leaves):
+            # one bulk device->host transfer for the whole transcript
+            leaves = jax.tree_util.tree_leaves(jax.device_get(absorb))
+        CHUNK = 8 << 20
+        chunks = []
+        for leaf in leaves:
+            raw = _np.ascontiguousarray(leaf).tobytes()
+            for off in range(0, max(len(raw), 1), CHUNK):
+                chunks.append(raw[off : off + CHUNK])
+        if len(chunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(len(chunks), 16)) as pool:
+                chunk_digests = list(pool.map(hashing.sha3_256, chunks))
+        else:
+            chunk_digests = [hashing.sha3_256(chunks[0])]
+    material = (
+        bytes(seed)
+        + n.to_bytes(8, "little")
+        + len(chunk_digests).to_bytes(8, "little")
+        + b"".join(chunk_digests)
+    )
     digest = hashing.sha3_256(material)
 
     from ..native import chacha20_words
@@ -409,6 +495,120 @@ def commit_batch(coeffs_plain):
     n = coeffs_plain.shape[0]
     base = dcv.G1.generator((n,))
     return dcv.G1.scalar_mul(base, coeffs_plain)
+
+
+# ---------------------------------------------------------------------------
+# DKG: batched bivariate commitments / rows (VERDICT r3 #7 — before round 4
+# the whole BivarPoly/BivarCommitment flow ran as nested host loops)
+# ---------------------------------------------------------------------------
+
+def powers_batch(xs_mont, degree: int):
+    """[x⁰ .. x^degree] per lane: uint32[M, 16] → [M, degree+1, 16]
+    (Montgomery form; the batched `/root/reference/src/poly.rs:735-744`)."""
+    m = xs_mont.shape[0]
+    one = jnp.broadcast_to(mont.one(FR), (m, FR.L))
+    if degree == 0:
+        return one[:, None]
+
+    def body(acc, _):
+        nxt = mont.mul(FR, acc, xs_mont)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(body, one, None, length=degree)
+    return jnp.concatenate([one[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+
+
+def bivar_commit_batch(coeffs_plain):
+    """`BivarPoly.commitment` as ONE batched fixed-base G1 scalar-mul over
+    the whole triangular coefficient vector — the DKG dealer hot loop the
+    reference runs as (f+1)(f+2)/2 sequential muls
+    (`/root/reference/src/poly.rs:626-632`).
+
+    coeffs_plain: uint32[npos, 16] canonical plain Fr limbs in triangular
+    `coeff_pos` order.  Returns a batched G1 Jacobian pytree [npos].
+    """
+    return commit_batch(coeffs_plain)
+
+
+def _fold_axis1(curve, pts):
+    moved = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 1, 0), pts)
+    return dcv._tree_sum(curve, moved)
+
+
+def bivar_row_batch(coeffs_mont, xs_mont, degree: int):
+    """Row polynomials of a symmetric bivariate poly for a batch of x's:
+    out[m, i] = Σ_j c[pos(i, j)]·x_m^j — the dealer's per-node row dealing
+    (`/root/reference/src/poly.rs:607-623`), all nodes at once.
+
+    coeffs_mont: uint32[npos, 16] Montgomery limbs (triangular order);
+    xs_mont: uint32[M, 16].  Returns uint32[M, degree+1, 16] (Montgomery).
+    """
+    from ..poly import coeff_pos
+
+    xpow = powers_batch(xs_mont, degree)  # [M, d+1, 16]
+    rows = []
+    for i in range(degree + 1):
+        idx = jnp.asarray([coeff_pos(i, j) for j in range(degree + 1)])
+        terms = mont.mul(FR, coeffs_mont[idx][None], xpow)  # [M, d+1, 16]
+        acc = terms[:, 0]
+        for j in range(1, degree + 1):
+            acc = mont.add(FR, acc, terms[:, j])
+        rows.append(acc)
+    return jnp.stack(rows, axis=1)
+
+
+def bivar_commit_row_batch(commit_jac, xs_mont, degree: int):
+    """Row commitments from a BivarCommitment for a batch of x's:
+    out[m, i] = Σ_j C[pos(i, j)]·x_m^j — the in-exponent form of
+    `bivar_row_batch` (`/root/reference/src/poly.rs:693-726`), used by
+    every node to check its dealt row.
+
+    commit_jac: batched G1 Jacobian pytree [npos] (triangular order).
+    Returns a G1 Jacobian pytree [M, degree+1].
+    """
+    from ..poly import coeff_pos
+
+    m = xs_mont.shape[0]
+    xpow_plain = frops.fr_to_plain(powers_batch(xs_mont, degree))
+    outs = []
+    for i in range(degree + 1):
+        idx = jnp.asarray([coeff_pos(i, j) for j in range(degree + 1)])
+        pts = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[idx][None], (m,) + a[idx].shape),
+            commit_jac,
+        )
+        prods = dcv.G1.scalar_mul(pts, xpow_plain)  # [M, d+1]
+        outs.append(_fold_axis1(dcv.G1, prods))
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls, axis=1), *outs)
+
+
+def bivar_commit_eval_batch(commit_jac, xs_mont, ys_mont, degree: int):
+    """`BivarCommitment.evaluate(x_m, y_m)` batched over M pairs:
+    Σ_{i,j} C[pos(i, j)]·x^i·y^j (`/root/reference/src/poly.rs:589-604`
+    in the exponent) — the per-value DKG verification
+    `commit.evaluate(m, s) == val·G1`, whole batches at a time.
+
+    Returns a G1 Jacobian pytree [M].
+    """
+    from ..poly import coeff_pos
+
+    xpow = powers_batch(xs_mont, degree)
+    ypow = powers_batch(ys_mont, degree)
+    npos = (degree + 1) * (degree + 2) // 2
+    scal = [None] * npos
+    for i in range(degree + 1):
+        for j in range(i, degree + 1):
+            s = mont.mul(FR, xpow[:, i], ypow[:, j])
+            if i != j:  # symmetric coefficient appears for (i,j) and (j,i)
+                s = mont.add(FR, s, mont.mul(FR, xpow[:, j], ypow[:, i]))
+            scal[coeff_pos(i, j)] = s
+    m = xs_mont.shape[0]
+    scal_plain = frops.fr_to_plain(jnp.stack(scal, axis=1))  # [M, npos, 16]
+    pts = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (m,) + a.shape), commit_jac
+    )
+    prods = dcv.G1.scalar_mul(pts, scal_plain)  # [M, npos]
+    return _fold_axis1(dcv.G1, prods)
 
 
 def derive_shares(coeffs_mont, xs_mont):
