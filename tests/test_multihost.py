@@ -64,6 +64,17 @@ def test_two_process_sharded_combine():
         assert f"WORKER-OK {i}" in out
 
 
+@pytest.mark.slow
+def test_two_process_sharded_rlc():
+    """Sharded RLC batch verification across the 2-process mesh: partial
+    MSMs per process + cross-process point reduce + replicated check;
+    accepts valid shares and rejects a tampered batch."""
+    outs = _run_two_process("rlc", timeout=1800)
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER-OK {i}" in out
+
+
 def test_multihost_single_process_graceful():
     """multihost helpers must degrade to no-ops at world size 1."""
     from threshold_crypto_tpu.parallel import multihost as mh

@@ -22,6 +22,8 @@ from .mesh import (  # noqa: F401
 )
 from .sharded import (  # noqa: F401
     sharded_combine,
+    sharded_rlc_aggregate,
     sharded_sign,
     sharded_verify,
+    sharded_verify_rlc,
 )
