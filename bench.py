@@ -68,7 +68,11 @@ def _emit(result):
 
 
 def _make_batch(batch, dpr, hcv, R):
-    """Deterministic verify batch: distinct keys, distinct messages."""
+    """Deterministic verify batch: distinct keys, distinct messages.
+    Converts only the 16 unique points; tiles at the limb level."""
+    import jax
+    import numpy as np
+
     rnd = random.Random(0xBE7C)
     n_unique = min(batch, 16)  # host-side point gen is slow; tile to batch
     sks = [rnd.randrange(1, R) for _ in range(n_unique)]
@@ -77,9 +81,18 @@ def _make_batch(batch, dpr, hcv, R):
     pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
     sig_host = [hcv.G2.mul(h, s) for h, s in zip(h_host, sks)]
     reps = (batch + n_unique - 1) // n_unique
-    pk_aff = dpr.g1_affine_from_host((pk_host * reps)[:batch])
-    h_aff = dpr.g2_affine_from_host((h_host * reps)[:batch])
-    sig_aff = dpr.g2_affine_from_host((sig_host * reps)[:batch])
+
+    def tile(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.tile(
+                np.asarray(a), (reps,) + (1,) * (a.ndim - 1)
+            )[:batch]),
+            tree,
+        )
+
+    pk_aff = tile(dpr.g1_affine_from_host(pk_host))
+    h_aff = tile(dpr.g2_affine_from_host(h_host))
+    sig_aff = tile(dpr.g2_affine_from_host(sig_host))
     return pk_aff, h_aff, sig_aff
 
 
@@ -125,21 +138,33 @@ def main() -> None:
 
     import numpy as np
 
+    from threshold_crypto_tpu import ops as _ops_aot
+
+    # AOT executable cache: a warm process deserializes the big compiled
+    # programs directly (skips the ~2-3 min client-side tracing floor).
+    _ops_aot.set_aot_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_aot")
+    )
+
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
-    batch = args.batch or (512 if on_tpu else 16)
-    rlc_batch = getattr(args, "rlc_batch", 0) or (16384 if on_tpu else 32)
+    # per-pair batch 8192 = the pipeline's throughput-bound point (VERDICT
+    # r3 #4: 512 was latency-bound and understated the rate 3x); the RLC
+    # stage reuses the same executable for its aggregate check, so the
+    # check cost amortizes over a large rlc_batch.
+    batch = args.batch or (8192 if on_tpu else 16)
+    rlc_batch = getattr(args, "rlc_batch", 0) or (262144 if on_tpu else 32)
+    stepwise_batch = min(batch, 512)  # stage 1 is dispatch-bound: keep small
 
     from threshold_crypto_tpu import ops
     from threshold_crypto_tpu.device import pairing as dpr
     from threshold_crypto_tpu.host import curve as hcv
     from threshold_crypto_tpu.host.params import R
 
-    pk_aff, h_aff, sig_aff = _make_batch(batch, dpr, hcv, R)
-
     # ---- child mode: pallas per-pair, then Pallas-MSM RLC (shares the
     # per-pair executable for its aggregate check); one stage line each ----
     if args.child_pallas:
+        pk_aff, h_aff, sig_aff = _make_batch(batch, dpr, hcv, R)
         # RLC first: its aggregate check compiles the shared per-pair
         # executable (verify_batch_pallas_jit at the same shapes), so the
         # per-pair measurement afterwards is nearly free — and if the
@@ -194,14 +219,16 @@ def main() -> None:
             result["mode"] = mode
 
     # ---- stage 1: stepwise per-pair (always lands) ------------------------
+    pk_aff, h_aff, sig_aff = _make_batch(stepwise_batch, dpr, hcv, R)
     out, best, compile_s = _measure(
         ops.verify_batch_stepwise, (pk_aff, h_aff, sig_aff),
         args.iters, np, jax,
     )
     assert out.all(), f"verification batch failed: {out[:8]}..."
-    per_pair = batch / best
+    per_pair = stepwise_batch / best
     result["per_pair_verifies_per_sec"] = round(per_pair, 2)
     result["per_pair_path"] = "stepwise"
+    result["stepwise_batch"] = stepwise_batch
     result["stepwise_compile_s"] = round(compile_s, 1)
     fq_mul_rate = per_pair * FQ_MULS_PER_VERIFY
     result["fq_mul_rate"] = round(fq_mul_rate)
@@ -222,16 +249,16 @@ def main() -> None:
 
         from threshold_crypto_tpu import hashing
 
-        msgs = [b"bench-msg-%d" % i for i in range(batch)]
+        msgs = [b"bench-msg-%d" % i for i in range(stepwise_batch)]
         hashing.hash_g2(msgs[0])  # warm native build
         workers = os.cpu_count() or 1
         t0 = time.time()
         with ThreadPoolExecutor(workers) as pool:
             list(pool.map(hashing.hash_g2, msgs))
         t_hash = time.time() - t0
-        result["hash_g2_per_sec"] = round(batch / t_hash, 1)
+        result["hash_g2_per_sec"] = round(stepwise_batch / t_hash, 1)
         result["verify_with_hash_per_sec"] = round(
-            batch / max(t_hash, best), 1
+            stepwise_batch / max(t_hash, best), 1
         )
         _emit(result)
 
@@ -297,7 +324,17 @@ def main() -> None:
 
 
 def _make_rlc_batch(n, np):
-    """Shared-message RLC batch: [N] pks + sigs over ONE hash point."""
+    """Shared-message RLC batch: [N] pks + sigs over ONE hash point.
+
+    Returns (pk_aff, sig_aff, h_jac, pk_np, sig_np): device affine pytrees
+    plus host numpy copies of the point limbs (the transcript bytes a real
+    verifier holds — `rlc_exponents` absorbs them without a device→host
+    transfer).  Only 16 unique points are converted host-side; the batch
+    is tiled at the limb level (converting 262k points one-by-one costs
+    ~a minute of Python bignum work).
+    """
+    import jax
+
     from threshold_crypto_tpu.device import curve as dcv
     from threshold_crypto_tpu.device import pairing as dpr
     from threshold_crypto_tpu.host import curve as hcv
@@ -311,18 +348,34 @@ def _make_rlc_batch(n, np):
     pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
     sig_host = [hcv.G2.mul(h_host, s) for s in sks]
     reps = (n + n_unique - 1) // n_unique
-    pk_aff = dpr.g1_affine_from_host((pk_host * reps)[:n])
-    sig_aff = dpr.g2_affine_from_host((sig_host * reps)[:n])
+
+    def tile(tree):
+        return jax.tree_util.tree_map(
+            lambda a: np.tile(
+                np.asarray(a), (reps,) + (1,) * (a.ndim - 1)
+            )[:n],
+            tree,
+        )
+
+    pk_np = tile(dpr.g1_affine_from_host(pk_host))
+    sig_np = tile(dpr.g2_affine_from_host(sig_host))
+    to_dev = lambda tree: jax.tree_util.tree_map(
+        lambda a: jax.device_put(a), tree
+    )
+    pk_aff, sig_aff = to_dev(pk_np), to_dev(sig_np)
     h_jac = dcv.G2.from_host_affine([h_host])
-    return pk_aff, sig_aff, h_jac
+    return pk_aff, sig_aff, h_jac, pk_np, sig_np
 
 
 def _bench_rlc_pallas(n, check_batch, iters, np, jax):
     """Rate of Pallas-MSM RLC batch verification, exponent derivation
-    included in the timed loop (a real verifier re-derives per batch)."""
+    included in the timed loop (a real verifier re-derives per batch;
+    the transcript hashes on-device — `device/keccak.py` — and the
+    ChaCha exponent stream expands on-device, so only digests cross the
+    tunneled link)."""
     from threshold_crypto_tpu import ops
 
-    pk_aff, sig_aff, h_jac = _make_rlc_batch(n, np)
+    pk_aff, sig_aff, h_jac, pk_np, sig_np = _make_rlc_batch(n, np)
 
     def run():
         r = ops.rlc_exponents(
@@ -355,25 +408,11 @@ def _bench_rlc(n, iters, np, jax):
     the N shares).  Returns (equivalent share-verifies/s, extra fields).
     """
     from threshold_crypto_tpu import ops
-    from threshold_crypto_tpu.device import curve as dcv
-    from threshold_crypto_tpu.device import pairing as dpr
-    from threshold_crypto_tpu.host import curve as hcv
-    from threshold_crypto_tpu.host.params import R
 
-    rnd = random.Random(0xA66)
-    n_unique = 16
-    sks = [rnd.randrange(1, R) for _ in range(n_unique)]
-    hk = rnd.randrange(1, R)
-    h_host = hcv.G2.mul(hcv.G2.generator, hk)
-    pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
-    sig_host = [hcv.G2.mul(h_host, s) for s in sks]
-    reps = (n + n_unique - 1) // n_unique
-    pk_aff = dpr.g1_affine_from_host((pk_host * reps)[:n])
-    sig_aff = dpr.g2_affine_from_host((sig_host * reps)[:n])
-    h_jac = dcv.G2.from_host_affine([h_host])
+    pk_aff, sig_aff, h_jac, pk_np, sig_np = _make_rlc_batch(n, np)
 
     seed = os.urandom(32)
-    r_plain = ops.rlc_exponents(n, seed, pk_aff=pk_aff, sig_aff=sig_aff)
+    r_plain = ops.rlc_exponents(n, seed, pk_aff=pk_np, sig_aff=sig_np)
 
     def run():
         ok = ops.verify_sig_shares_rlc_stepwise(

@@ -42,6 +42,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+    import threshold_crypto_tpu.ops as _o
+
+    _o.set_aot_cache(os.path.join(os.path.dirname(cache_dir), ".jax_aot"))
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -71,15 +75,15 @@ def main():
 
     # -- stage 1: exponents -------------------------------------------------
     t0 = time.time()
-    r_plain = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_np,
-                                sig_aff=sig_np)
+    r_plain = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_aff,
+                                sig_aff=sig_aff)
     np.asarray(r_plain)
     t_first = time.time() - t0
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        r_plain = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_np,
-                                    sig_aff=sig_np)
+        r_plain = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_aff,
+                                    sig_aff=sig_aff)
         np.asarray(r_plain)
         times.append(time.time() - t0)
     t_exp = min(times)
@@ -125,8 +129,8 @@ def main():
     # -- stage 3: end-to-end RLC verify ------------------------------------
     if not args.no_e2e:
         def run():
-            r = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_np,
-                                  sig_aff=sig_np)
+            r = ops.rlc_exponents(n, os.urandom(32), pk_aff=pk_aff,
+                                  sig_aff=sig_aff)
             ok = ops.verify_sig_shares_rlc_pallas(
                 pk_aff, h_jac, sig_aff, r, check_batch=args.check_batch
             )

@@ -393,3 +393,81 @@ def test_device_dkg_scenario():
             my_row = Poly.interpolate(received)
             assert my_row == bp.row(m)
             sec_keys[m - 1] = (sec_keys[m - 1] + my_row.evaluate(0)) % b.r
+
+
+def test_rlc_exponents_device_matches_host():
+    """The device ChaCha20 expansion (only the digest crosses the link)
+    must be bit-exact with the host stream path."""
+    for n in (5, 64, 333):
+        a = tops.rlc_exponents(n, b"dev-vs-host", on_device=True)
+        b = tops.rlc_exponents(n, b"dev-vs-host", on_device=False)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), n
+
+
+def test_device_chacha_stream_matches_host_rng():
+    """device.chacha word stream == utils.rng.ChaChaRng (rand_chacha 0.2)."""
+    import jax.numpy as jnp
+    from threshold_crypto_tpu.device import chacha as dch
+    from threshold_crypto_tpu.utils.rng import ChaChaRng
+
+    seed = bytes(range(32))
+    key = jnp.asarray(np.frombuffer(seed, dtype="<u4"))
+    got = list(np.asarray(dch.chacha20_words(key, 40)))
+    rng = ChaChaRng(seed)
+    want = [rng.next_u32() for _ in range(40)]
+    assert got == want
+
+
+def test_device_keccak_matches_hashlib():
+    """Vectorized device SHA3-256 chunk digests == hashlib, and the
+    transcript digest list is identical for device and host leaves."""
+    import hashlib
+
+    import jax.numpy as jnp
+    from threshold_crypto_tpu.device import keccak as dk
+
+    rng_np = np.random.default_rng(7)
+    words = rng_np.integers(0, 1 << 32, (3, 544), dtype=np.uint64).astype(
+        np.uint32
+    )
+    got = np.asarray(dk.sha3_256_chunks(jnp.asarray(words)))
+    for i in range(3):
+        want = hashlib.sha3_256(words[i].tobytes()).digest()
+        assert got[i].tobytes() == want, i
+
+    # device vs host leaves -> identical digest lists (incl. tails/bools)
+    leaf_a = rng_np.integers(0, 1 << 16, (700, 24), dtype=np.uint64).astype(
+        np.uint32
+    )  # 67200 B = 30 full chunks + 1920 B tail
+    leaf_b = np.zeros(700, bool)
+    dev = dk.transcript_digests([jnp.asarray(leaf_a), jnp.asarray(leaf_b)])
+    host = dk.transcript_digests([leaf_a, leaf_b])
+    assert dev == host
+    # header + 30 main chunks (level 1: K < 64) + tail + bool leaf
+    assert len(dev) == 1 + 30 + 2
+
+    # level-2 compression kicks in at >= 64 main chunks, still
+    # residency-independent
+    big = np.tile(leaf_a, (4, 1))  # 2800 rows -> 123 full chunks
+    dev2 = dk.transcript_digests([jnp.asarray(big)])
+    host2 = dk.transcript_digests([big])
+    assert dev2 == host2
+    # header + ceil(123/68)=2 level-2 digests + tail
+    assert len(dev2) == 1 + 2 + 1
+
+
+def test_rlc_exponents_transcript_binding_device_host():
+    """Exponents bound to a transcript are identical whether the points
+    are passed as device arrays or host numpy copies."""
+    import jax.numpy as jnp
+
+    rng_np = np.random.default_rng(11)
+    x = rng_np.integers(0, 1 << 16, (64, 24), dtype=np.uint64).astype(
+        np.uint32
+    )
+    inf = np.zeros(64, bool)
+    a = tops.rlc_exponents(64, b"bind", pk_aff=(x, x, inf))
+    b = tops.rlc_exponents(
+        64, b"bind", pk_aff=(jnp.asarray(x), jnp.asarray(x), jnp.asarray(inf))
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(b))

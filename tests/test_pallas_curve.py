@@ -235,7 +235,7 @@ def test_msm_pallas_w4_matches_msm_naive():
     assert bool(np.asarray(dcv.G1.eq(got1, want1))[0])
 
 
-def _check_shared(curve, curve_host, n, nbits, window=3):
+def _check_shared(curve, curve_host, n, nbits, window=3, mode="direct"):
     """msm_pallas_shared (DIRECT) == host-oracle Σ k_i·P_i, with infinity
     lanes, zero scalars, duplicate points, and (n > 1024) multi-block
     accumulation scans."""
@@ -264,12 +264,16 @@ def _check_shared(curve, curve_host, n, nbits, window=3):
     for i, k in enumerate(ks):
         for limb in range(4):
             scal[i, limb] = (k >> (16 * limb)) & 0xFFFF
-    ptw.DIRECT = True
+    if mode == "direct":
+        ptw.DIRECT = True
+    else:
+        ptw.INTERPRET = True
     try:
         got = pcv.msm_pallas_shared(curve, aff, jnp.asarray(scal),
                                     nbits=nbits, window=window)
     finally:
         ptw.DIRECT = False
+        ptw.INTERPRET = False
     got_host = curve.to_host_affine(
         jax.tree_util.tree_map(lambda a: a[None], got)
     )[0]
@@ -294,3 +298,13 @@ def test_msm_pallas_shared_g2_w4():
 def test_msm_pallas_shared_g1_multiblock():
     # n > 1024 exercises the multi-block inner scan + row padding
     _check_shared(dcv.G1, hcv.G1, 1200, 8, window=3)
+
+
+# NOTE: the fused (window x block)-grid winacc kernel (the non-DIRECT TPU
+# path: VMEM-scratch accumulator, sequential grid) is NOT exercised here —
+# the Pallas interpreter needs >40 min for one tiny case on this host's
+# two CPU cores.  Its math is the same _jac_dbl/_jac_add/select code the
+# DIRECT tests above cover; the pl.when/scratch plumbing is validated
+# on-chip by benches/msm_shared.py, which asserts the fused result equals
+# the XLA `msm_scalarwise` oracle at N=65536 on every run (and the RLC
+# aggregate check would fail end-to-end on any mismatch).

@@ -32,6 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_tower as ptw
 from .mont import FQ
@@ -514,6 +516,119 @@ def _dblw_impl(g2: bool, w: int):
     return _impl_cache[key]
 
 
+def _packed_inf_vals(F, rows, lanes):
+    """In-kernel packed Jacobian infinity (X = Y = Mont 1, Z = 0)."""
+    one = jnp.stack(
+        [jnp.full((rows, lanes), limb, jnp.uint32)
+         for limb in ptw._ONE_LIMBS],
+        axis=0,
+    )
+    zero = jnp.zeros((L, rows, lanes), jnp.uint32)
+    if F.n_comp == 2:  # G2: X=(1,0), Y=(1,0), Z=(0,0)
+        comps = [one, zero, one, zero, zero, zero]
+    else:
+        comps = [one, one, zero]
+    return jnp.concatenate(comps, axis=0)
+
+
+def _mk_winacc_kernel(F, nent, window, ndig, nblk):
+    """The whole shared-window Horner phase as ONE kernel over a
+    (windows × blocks) sequential grid: acc lives in VMEM scratch across
+    every grid step (TPU grids execute in order), is 2^w-doubled at each
+    window's first block, accumulates one gated select+add per block, and
+    is written out once at the very last step.  Replaces ndig·nblk
+    separate kernel dispatches (~100 µs fixed cost each — the dominant
+    driver overhead measured at N=16k in r4)."""
+
+    def kernel(table_ref, digit_ref, out_ref, acc_ref):
+        w = pl.program_id(0)
+        b = pl.program_id(1)
+
+        @pl.when((w == 0) & (b == 0))
+        def _init():
+            acc_ref[...] = _packed_inf_vals(
+                F, ptw.TILE_ROWS, LANES
+            )
+
+        @pl.when(b == 0)
+        def _dbl():
+            T = tuple(F.read(acc_ref, 3))
+            for _ in range(window):
+                T = _jac_dbl(F, T)
+            ptw.write_fqs(acc_ref, F.flat(list(T)))
+
+        T = tuple(F.read(acc_ref, 3))
+        tab = F.read(table_ref, 3 * nent)
+        table = [tuple(tab[3 * k : 3 * k + 3]) for k in range(nent)]
+        digit = digit_ref[0, 0]
+        Q = table[0]
+        for k in range(1, nent):
+            c = digit == np.uint32(k + 1)
+            Q = tuple(F.select(c, table[k][i], Q[i]) for i in range(3))
+        s = _jac_add(F, T, Q)
+        do = digit != 0
+        out = tuple(F.select(do, s[i], T[i]) for i in range(3))
+        ptw.write_fqs(acc_ref, F.flat(list(out)))
+
+        @pl.when((w == ndig - 1) & (b == nblk - 1))
+        def _fin():
+            out_ref[...] = acc_ref[...]
+
+    kernel.__name__ = f"_k_{F.name}_winacc{nent}w{window}"
+    return kernel
+
+
+def _winacc_impl(g2: bool, nent: int, window: int, ndig: int, nblk: int):
+    key = ("winacc", g2, nent, window, ndig, nblk)
+    if key not in _impl_cache:
+        F = _KFq2 if g2 else _KFq
+        pplanes = 3 * F.n_comp * L
+        kern = _mk_winacc_kernel(F, nent, window, ndig, nblk)
+
+        def impl(tab_packed, digits4, _k=kern, _pp=pplanes):
+            prev = ptw._ACTIVE_STACK
+            ptw._ACTIVE_STACK = (
+                ptw.DIRECT_STACK if ptw.DIRECT else ptw.MULTIBLOCK_STACK
+            )
+            try:
+                return pl.pallas_call(
+                    _k,
+                    grid=(ndig, nblk),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (nent * _pp, ptw.TILE_ROWS, LANES),
+                            lambda w, b: (0, b, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(
+                            (1, 1, ptw.TILE_ROWS, LANES),
+                            lambda w, b: (w, b, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (_pp, ptw.TILE_ROWS, LANES),
+                        lambda w, b: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (_pp, ptw.TILE_ROWS, LANES), jnp.uint32
+                    ),
+                    scratch_shapes=[
+                        pltpu.VMEM((_pp, ptw.TILE_ROWS, LANES), jnp.uint32)
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=ptw.VMEM_LIMIT_BYTES,
+                    ),
+                    interpret=ptw.INTERPRET,
+                )(tab_packed, digits4)
+            finally:
+                ptw._ACTIVE_STACK = prev
+
+        _impl_cache[key] = impl
+    return _impl_cache[key]
+
+
 p_g1_msm_step = jax.jit(_g1_step_impl)
 p_g2_msm_step = jax.jit(_g2_step_impl)
 p_g1_msm_step4 = jax.jit(_g1_step4_impl)
@@ -758,32 +873,29 @@ def msm_pallas_shared(curve, points_aff, scalars, nbits: int = 64,
 
         _, rest = jax.lax.scan(tbody, base_jac, None, length=nent - 1)
         tab = jnp.concatenate([base_jac[None], rest], axis=0)
-    # [nent, pplanes, R, 128] -> [nblk, nent*pplanes, 8, 128]
-    tab_blocks = (
-        tab.reshape(nent, pplanes, nblk, ptw.TILE_ROWS, LANES)
-        .transpose(2, 0, 1, 3, 4)
-        .reshape(nblk, nent * pplanes, ptw.TILE_ROWS, LANES)
-    )
 
     # -- shared-window Horner over one accumulator block -------------------
-    acc0 = _packed_inf_jac(pplanes, ptw.TILE_ROWS)
     if ptw.DIRECT:
-        acc = acc0
+        # per-block loop over the small select+add / dbl kernels (the fused
+        # grid kernel below is exercised on TPU; same math)
+        tab_blocks = (
+            tab.reshape(nent, pplanes, nblk, ptw.TILE_ROWS, LANES)
+            .transpose(2, 0, 1, 3, 4)
+            .reshape(nblk, nent * pplanes, ptw.TILE_ROWS, LANES)
+        )
+        acc = _packed_inf_jac(pplanes, ptw.TILE_ROWS)
         for w in range(ndig):
             acc = dblw(acc)
             for j in range(nblk):
                 acc = selmadd(acc, tab_blocks[j], dig_blocks[w, j])
     else:
-        def inner(acc, xs):
-            tb, dg = xs
-            return selmadd(acc, tb, dg), None
-
-        def outer(acc, dig_w):
-            acc = dblw(acc)
-            acc, _ = jax.lax.scan(inner, acc, (tab_blocks, dig_w))
-            return acc, None
-
-        acc, _ = jax.lax.scan(outer, acc0, dig_blocks)
+        # ONE pallas_call for the whole phase: sequential (window, block)
+        # grid, acc in VMEM scratch, table blocks streamed from HBM.
+        tab_packed = tab.reshape(nent * pplanes, R, LANES)
+        digits4 = dig_blocks.reshape(ndig, nblk, ptw.TILE_ROWS, LANES)
+        acc = _winacc_impl(g2, nent, window, ndig, nblk)(
+            tab_packed, digits4
+        )
 
     # -- unpack the 1024 partial sums and fold on the XLA side -------------
     comps_out = ptw.unpack(acc, 3 * ncomp, ptw.TILE_ROWS * LANES)

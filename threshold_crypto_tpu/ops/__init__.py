@@ -38,6 +38,7 @@ from .threshold import (  # noqa: F401
     encrypt_finish_batch,
     jacobian_to_affine,
     powers_batch,
+    set_aot_cache,
     sign_batch,
     rlc_exponents,
     verify_batch,

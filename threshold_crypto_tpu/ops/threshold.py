@@ -157,16 +157,41 @@ def verify_batch_pallas(pk_aff, h_aff, sig_aff):
 
 
 _jit_vbp = None
+_AOT_DIR = None
+
+
+def set_aot_cache(path) -> None:
+    """Enable the AOT executable cache (`utils/aotcache`) for this
+    module's big jitted programs: warm processes deserialize compiled
+    executables from `path` instead of re-tracing the ~13 MB pipeline
+    module (~2-3 min saved — VERDICT r3 #8).  None disables."""
+    global _AOT_DIR, _jit_vbp, _jit_rlc_pallas_agg
+    _AOT_DIR = path
+    _jit_vbp = None
+    _jit_rlc_pallas_agg = None
 
 
 def verify_batch_pallas_jit(pk_aff, h_aff, sig_aff):
     """Module-level jitted `verify_batch_pallas`: every caller (bench
     per-pair stage, RLC aggregate check) shares ONE executable per shape —
-    in-process reuse and a single persistent-cache entry."""
+    in-process reuse and a single persistent-cache entry (AOT-cached on
+    disk when `set_aot_cache` is active)."""
     global _jit_vbp
-    if _jit_vbp is None:
-        _jit_vbp = jax.jit(verify_batch_pallas)
-    return _jit_vbp(pk_aff, h_aff, sig_aff)
+    if _AOT_DIR is None:
+        if not callable(_jit_vbp):
+            _jit_vbp = jax.jit(verify_batch_pallas)
+        return _jit_vbp(pk_aff, h_aff, sig_aff)
+    if not isinstance(_jit_vbp, dict):
+        _jit_vbp = {}
+    n = pk_aff[2].shape[0]
+    if n not in _jit_vbp:
+        from ..utils import aotcache
+
+        _jit_vbp[n] = aotcache.cached_compile(
+            verify_batch_pallas, (pk_aff, h_aff, sig_aff),
+            f"vbp{n}", _AOT_DIR,
+        )
+    return _jit_vbp[n](pk_aff, h_aff, sig_aff)
 
 
 def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
@@ -227,7 +252,7 @@ def verify_sig_shares_rlc_pallas(pk_aff, h_jac, sig_aff, r_plain,
     (N same-message share verifies, `/root/reference/src/lib.rs:177-179`).
     """
     global _jit_rlc_pallas_agg
-    key = msm
+    key = (msm, r_plain.shape[0] if _AOT_DIR is not None else None)
     if _jit_rlc_pallas_agg is None:
         _jit_rlc_pallas_agg = {}
     if key not in _jit_rlc_pallas_agg:
@@ -254,7 +279,15 @@ def verify_sig_shares_rlc_pallas(pk_aff, h_jac, sig_aff, r_plain,
                     jacobian_to_affine(dcv.G2, asg),
                 )
 
-        _jit_rlc_pallas_agg[key] = jax.jit(agg)
+        if _AOT_DIR is not None:
+            from ..utils import aotcache
+
+            _jit_rlc_pallas_agg[key] = aotcache.cached_compile(
+                agg, (pk_aff, sig_aff, r_plain),
+                f"rlcagg-{msm}{r_plain.shape[0]}", _AOT_DIR,
+            )
+        else:
+            _jit_rlc_pallas_agg[key] = jax.jit(agg)
     pk_a, sg_a = _jit_rlc_pallas_agg[key](pk_aff, sig_aff, r_plain)
 
     h1 = jax.tree_util.tree_map(
@@ -307,7 +340,7 @@ def _rlc_aggregate_pairs(pk_aff, h_jac, sig_aff, r_plain):
 
 
 def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
-                  h_jac=None):
+                  h_jac=None, on_device: bool = True):
     """Deterministic 64-bit batch-verification exponents, bound to the
     verification transcript.
 
@@ -323,18 +356,19 @@ def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
     Returns uint32[n, 16] canonical Fr limbs (low 64 bits populated, never
     zero: a zero exponent would drop a share from the check entirely).
 
-    Transcript absorption is a chunked hash tree: each leaf's byte stream
-    is split into ≤8 MiB chunks, the chunks are SHA3-256'd concurrently
-    (the native Keccak releases the GIL), and the final digest absorbs the
-    ordered chunk-digest list.  At N=65536 the transcript is ~40 MB; the
-    r3 single-stream hash serialized it at ~6 µs/share — a large slice of
-    the whole verification budget (VERDICT r3 #1b).  Point pytrees may be
-    passed as host numpy trees (the wire bytes a real verifier holds) to
-    skip the device→host transfer entirely.
+    Transcript absorption is a chunk-digest tree: each leaf's byte stream
+    splits into 2176-byte chunks; chunks of device-resident uint32 leaves
+    hash ON DEVICE (one VPU lane per chunk, `device/keccak.py` — the
+    point limbs already live there, so nothing big crosses the link),
+    the rest host-side, and the final digest absorbs the ordered chunk-
+    digest list.  The r3 single-stream host hash serialized ~40 MB of
+    transcript at ~6 µs/share on this host's two cores — as large as the
+    whole MSM (VERDICT r3 #1b).
     """
     import numpy as _np
 
     from .. import hashing
+    from ..device import keccak as dkeccak
     from ..utils.rng import ChaChaRng
 
     absorb = [
@@ -342,23 +376,9 @@ def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
     ]
     chunk_digests = []
     if absorb:
-        leaves = jax.tree_util.tree_leaves(absorb)
-        if not all(isinstance(v, _np.ndarray) for v in leaves):
-            # one bulk device->host transfer for the whole transcript
-            leaves = jax.tree_util.tree_leaves(jax.device_get(absorb))
-        CHUNK = 8 << 20
-        chunks = []
-        for leaf in leaves:
-            raw = _np.ascontiguousarray(leaf).tobytes()
-            for off in range(0, max(len(raw), 1), CHUNK):
-                chunks.append(raw[off : off + CHUNK])
-        if len(chunks) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(min(len(chunks), 16)) as pool:
-                chunk_digests = list(pool.map(hashing.sha3_256, chunks))
-        else:
-            chunk_digests = [hashing.sha3_256(chunks[0])]
+        chunk_digests = dkeccak.transcript_digests(
+            jax.tree_util.tree_leaves(absorb)
+        )
     material = (
         bytes(seed)
         + n.to_bytes(8, "little")
@@ -366,6 +386,16 @@ def rlc_exponents(n: int, seed: bytes, *trees, pk_aff=None, sig_aff=None,
         + b"".join(chunk_digests)
     )
     digest = hashing.sha3_256(material)
+
+    if on_device:
+        # expand the stream on the VPU: only the 32-byte digest crosses
+        # the device link (the host-side [N, 16] upload cost ~100 ms at
+        # N=16k through the tunnel — measured r4); bit-exact with the
+        # host path below (tested).
+        from ..device import chacha as dchacha
+
+        key = jnp.asarray(_np.frombuffer(digest, dtype="<u4"))
+        return dchacha.rlc_exponent_limbs(key, n)
 
     from ..native import chacha20_words
 
