@@ -66,7 +66,7 @@ def _pack_jac(curve, T, n):
         comps = [T[0][0], T[0][1], T[1][0], T[1][1], T[2][0], T[2][1]]
     else:
         comps = list(T)
-    return ptw.pack([c.reshape(n, pcv.L) for c in comps], n)
+    return ptw.pack([c.reshape(n, ptw.XL) for c in comps], n)
 
 
 def _pack_aff_from_jac(curve, Q_jac, n):
@@ -76,7 +76,7 @@ def _pack_aff_from_jac(curve, Q_jac, n):
         comps = [x[0], x[1], y[0], y[1]]
     else:
         comps = [x, y]
-    return ptw.pack([c.reshape(n, pcv.L) for c in comps], n)
+    return ptw.pack([c.reshape(n, ptw.XL) for c in comps], n)
 
 
 def _unpack_jac(curve, acc, n):
@@ -183,7 +183,7 @@ def _check_step4(curve, curve_host, impl):
     tab_comps = []
     from threshold_crypto_tpu.device.pallas_curve import _jac_comps
     for e in entries:
-        tab_comps += [c.reshape(n, pcv.L) for c in _jac_comps(curve, e)]
+        tab_comps += [c.reshape(n, ptw.XL) for c in _jac_comps(curve, e)]
     tab_packed = ptw.pack(tab_comps, n)
 
     accp = _pack_jac(curve, T, n)

@@ -48,7 +48,7 @@ def test_pack_unpack_roundtrip():
     vals = rand_fq_host(300)  # deliberately not a multiple of 128
     arr = to_last(vals)
     packed = ptw.pack([arr], 300)
-    assert packed.shape == (24, 8, 128)
+    assert packed.shape == (ptw.L, 8, 128)
     back = ptw.unpack(packed, 1, 300)[0]
     assert np.array_equal(np.asarray(back), np.asarray(arr))
 
@@ -113,7 +113,7 @@ def _packed12_tree(packed, n=N):
 
 def _kernel12(packed):
     """Packed fq12 -> in-kernel nested value (block view, R=8)."""
-    f = [packed[i * 24 : (i + 1) * 24] for i in range(12)]
+    f = [packed[i * ptw.L : (i + 1) * ptw.L] for i in range(12)]
     it = iter(f)
     return tuple(
         tuple((next(it), next(it)) for _ in range(3)) for _ in range(2)
@@ -149,9 +149,9 @@ def test_mul_by_014_matches_tower():
     c_last = [to_last(c) for c in c_host]
     c0l, c1l, c4l = (c_last[0], c_last[1]), (c_last[2], c_last[3]), (c_last[4], c_last[5])
     packed_c = [ptw.pack([c], N) for c in c_last]
-    c0p = (packed_c[0][:24], packed_c[1][:24])
-    c1p = (packed_c[2][:24], packed_c[3][:24])
-    c4p = (packed_c[4][:24], packed_c[5][:24])
+    c0p = (packed_c[0][:ptw.L], packed_c[1][:ptw.L])
+    c1p = (packed_c[2][:ptw.L], packed_c[3][:ptw.L])
+    c4p = (packed_c[4][:ptw.L], packed_c[5][:ptw.L])
     got = _kernel12_to_packed(
         ptw.fq12_mul_by_014(_kernel12(pa), c0p, c1p, c4p)
     )
@@ -162,7 +162,7 @@ def test_mul_by_014_matches_tower():
 def _rand_fq2_pair(n=N):
     c0, c1 = rand_fq_host(n), rand_fq_host(n)
     last = (to_last(c0), to_last(c1))
-    packed = (ptw.pack([last[0]], n)[:24], ptw.pack([last[1]], n)[:24])
+    packed = (ptw.pack([last[0]], n)[:ptw.L], ptw.pack([last[1]], n)[:ptw.L])
     return last, packed
 
 
@@ -173,8 +173,8 @@ def test_dbl_step_matches_pairing():
     xpl = rand_fq_host()
     ypl = rand_fq_host()
     xp_last, yp_last = to_last(xpl), to_last(ypl)
-    xp_p = ptw.pack([xp_last], N)[:24]
-    yp_p = ptw.pack([yp_last], N)[:24]
+    xp_p = ptw.pack([xp_last], N)[:ptw.L]
+    yp_p = ptw.pack([yp_last], N)[:ptw.L]
 
     To_p, (c0p, c1p, c4p) = ptw.dbl_step((Xp, Yp, Zp), xp_p, yp_p)
     To_l, (c0l, c1l, c4l) = dpr._dbl_step((Xl, Yl, Zl), xp_last, yp_last)
@@ -192,8 +192,8 @@ def test_add_step_matches_pairing():
     (x2l, x2p), (y2l, y2p) = _rand_fq2_pair(), _rand_fq2_pair()
     xpl, ypl = rand_fq_host(), rand_fq_host()
     xp_last, yp_last = to_last(xpl), to_last(ypl)
-    xp_p = ptw.pack([xp_last], N)[:24]
-    yp_p = ptw.pack([yp_last], N)[:24]
+    xp_p = ptw.pack([xp_last], N)[:ptw.L]
+    yp_p = ptw.pack([yp_last], N)[:ptw.L]
 
     To_p, lines_p = ptw.add_step((Xp, Yp, Zp), (x2p, y2p), xp_p, yp_p)
     To_l, lines_l = dpr._add_step((Xl, Yl, Zl), (x2l, y2l), xp_last, yp_last)
@@ -205,7 +205,7 @@ def test_add_step_matches_pairing():
 
 
 def _fq2_of(packed):
-    return (packed[:24], packed[24:48])
+    return (packed[:ptw.L], packed[ptw.L:2*ptw.L])
 
 
 def test_dbl_fold_matches_composition():
@@ -218,8 +218,8 @@ def test_dbl_fold_matches_composition():
     )
     xpl, ypl = rand_fq_host(n), rand_fq_host(n)
     xp_last, yp_last = to_last(xpl), to_last(ypl)
-    xp_p = ptw.pack([xp_last], n)[:24]
-    yp_p = ptw.pack([yp_last], n)[:24]
+    xp_p = ptw.pack([xp_last], n)[:ptw.L]
+    yp_p = ptw.pack([yp_last], n)[:ptw.L]
 
     fo_p, To_p = ptw.dbl_fold(_kernel12(pa), (Xp, Yp, Zp), xp_p, yp_p)
     To_l, (c0l, c1l, c4l) = dpr._dbl_step((Xl, Yl, Zl), xp_last, yp_last)
@@ -243,8 +243,8 @@ def test_add_fold_matches_composition():
     (x2l, x2p), (y2l, y2p) = _rand_fq2_pair(n), _rand_fq2_pair(n)
     xpl, ypl = rand_fq_host(n), rand_fq_host(n)
     xp_last, yp_last = to_last(xpl), to_last(ypl)
-    xp_p = ptw.pack([xp_last], n)[:24]
-    yp_p = ptw.pack([yp_last], n)[:24]
+    xp_p = ptw.pack([xp_last], n)[:ptw.L]
+    yp_p = ptw.pack([yp_last], n)[:ptw.L]
 
     fo_p, To_p = ptw.add_fold(
         _kernel12(pa), (Xp, Yp, Zp), (x2p, y2p), xp_p, yp_p
@@ -290,7 +290,7 @@ def test_pallas_call_plumbing_interpret():
         a, b = rand_fq_host(n), rand_fq_host(n)
         pa = ptw.pack([to_last(a)], n)
         pb = ptw.pack([to_last(b)], n)
-        got_packed = ptw._call(_k_plumb, [24, 24], [24], [pa, pb])
+        got_packed = ptw._call(_k_plumb, [ptw.L, ptw.L], [ptw.L], [pa, pb])
         got = mont.unstack_mont(
             FQ, np.asarray(ptw.unpack(got_packed, 1, n)[0])
         )

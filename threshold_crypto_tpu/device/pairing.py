@@ -389,11 +389,11 @@ def _flatten_aff(aff):
         n *= d
     if isinstance(x, tuple):  # G2: x, y are fq2 pairs
         comps = [
-            x[0].reshape(n, ptw.L), x[1].reshape(n, ptw.L),
-            y[0].reshape(n, ptw.L), y[1].reshape(n, ptw.L),
+            x[0].reshape(n, ptw.XL), x[1].reshape(n, ptw.XL),
+            y[0].reshape(n, ptw.XL), y[1].reshape(n, ptw.XL),
         ]
     else:  # G1
-        comps = [x.reshape(n, ptw.L), y.reshape(n, ptw.L)]
+        comps = [x.reshape(n, ptw.XL), y.reshape(n, ptw.XL)]
     return comps, inf.reshape(n), n
 
 
@@ -582,7 +582,7 @@ def pairing_check_pallas(p_aff, q_aff):
     def pack_pairs(comps):
         bands = []
         for i in range(k):
-            sl = [c.reshape(k, n_pair, ptw.L)[i] for c in comps]
+            sl = [c.reshape(k, n_pair, ptw.XL)[i] for c in comps]
             bands.append(ptw.pack(sl, n_pair))
         return jnp.concatenate(bands, axis=1)  # (n_comp·24, k·R_pair, 128)
 
@@ -624,7 +624,7 @@ def pairing_pallas(p_aff, q_aff):
     tree = _unpack12_tree(gt)
     shape = p_aff[2].shape
     return jax.tree_util.tree_map(
-        lambda a: a[: int(np_prod(shape))].reshape(shape + (ptw.L,)), tree
+        lambda a: a[: int(np_prod(shape))].reshape(shape + (ptw.XL,)), tree
     )
 
 

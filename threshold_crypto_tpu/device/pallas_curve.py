@@ -651,12 +651,8 @@ def _bit_planes(k_limbs, nbits, R):
 
 
 def _packed_inf_jac(planes, R):
-    """Packed Jacobian infinity: X = Y = Montgomery 1, Z = 0."""
-    one = jnp.asarray(
-        np.array(
-            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
-        )
-    )[:, None, None]
+    """Packed Jacobian infinity: X = Y = engine-Montgomery 1, Z = 0."""
+    one = jnp.asarray(np.array(ptw._ONE_LIMBS, np.uint32))[:, None, None]
     one = jnp.broadcast_to(one, (L, R, LANES))
     zero = jnp.zeros((L, R, LANES), jnp.uint32)
     if planes == 3 * L:  # G1: X, Y, Z
@@ -726,7 +722,7 @@ def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
         for k in range(15):
             entry = jax.tree_util.tree_map(lambda a: a[k], table)
             tab_comps += [
-                c.reshape(n, L) for c in _jac_comps(curve, entry)
+                c.reshape(n, ptw.XL) for c in _jac_comps(curve, entry)
             ]
         tab_packed = ptw.pack(tab_comps, n)
 
@@ -751,7 +747,7 @@ def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
             acc, _ = jax.lax.scan(body, acc0, digits)
     else:
         comps = [x[0], x[1], y[0], y[1]] if g2 else [x, y]
-        q_packed = ptw.pack([c.reshape(n, L) for c in comps], n)
+        q_packed = ptw.pack([c.reshape(n, ptw.XL) for c in comps], n)
         bits = _bit_planes(scalars, nbits, R) * live_plane
         step = (
             (_g2_step_impl if ptw.DIRECT else p_g2_msm_step)
@@ -783,11 +779,7 @@ def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
 
 
 def _packed_one_planes(R):
-    one = jnp.asarray(
-        np.array(
-            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
-        )
-    )[:, None, None]
+    one = jnp.asarray(np.array(ptw._ONE_LIMBS, np.uint32))[:, None, None]
     return jnp.broadcast_to(one, (L, R, LANES))
 
 
@@ -846,7 +838,7 @@ def msm_pallas_shared(curve, points_aff, scalars, nbits: int = 64,
     # -- affine packed base + its Jacobian lift (Z = 1; dead lanes carry
     # placeholder coordinates but their digits are 0, so never selected) --
     comps = [x[0], x[1], y[0], y[1]] if g2 else [x, y]
-    q_packed = ptw.pack([c.reshape(n, L) for c in comps], n)
+    q_packed = ptw.pack([c.reshape(n, ptw.XL) for c in comps], n)
     one_planes = _packed_one_planes(R)
     if g2:
         z_planes = jnp.concatenate(

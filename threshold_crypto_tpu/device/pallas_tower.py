@@ -51,7 +51,25 @@ from .mont import FQ
 MASK16 = np.uint32(0xFFFF)
 LANES = 128
 TILE_ROWS = 8  # sublane rows per grid block -> 1024 batch lanes per block
-L = FQ.L  # 24 limbs
+
+# ---------------------------------------------------------------------------
+# Engine limb base.  16: the r1-r3 SOS engine (24×16-bit limbs, every
+# product split lo/hi before column accumulation).  13: the r4 engine —
+# 30×13-bit limbs, 13×13 products are < 2^26 so a column of 30 accumulates
+# RAW in uint32 with no splits and no mid-column carries (~31 % fewer
+# lane-ops per multiply; measured +27 % Fq-mul/s, benches/micro_engine.py).
+# The packed domain then runs in Montgomery form R' = 2^(BASE·L); pack()/
+# unpack() convert to/from the XLA side's 24×16-bit R = 2^384 form.
+# ---------------------------------------------------------------------------
+BASE = int(os.environ.get("TC_TPU_ENGINE_BASE", "16"))
+assert BASE in (16, 13), BASE
+XL = FQ.L  # XLA-side limbs-last width (always 24 × 16-bit)
+if BASE == 16:
+    L = 24
+else:
+    L = 30
+MASKB = np.uint32((1 << BASE) - 1)
+R_POW = BASE * L  # engine Montgomery exponent (384 or 390)
 
 # Max Fq products per engine instance.  Bounds the engine's VMEM working set
 # (~96 planes × stack × 4 KB ≈ 5.4 MB at 14, plus adder-tree transients)
@@ -94,10 +112,13 @@ DIRECT = False
 # of 8.  All helpers are pure jnp tracing code executed inside kernels.
 # ---------------------------------------------------------------------------
 
-_P_LIMBS = [np.uint32(v) for v in FQ.p_limbs]
-_N0INV = np.uint32(FQ.n0inv)
+_P_LIMBS = [
+    np.uint32((FQ.p >> (BASE * i)) & int(MASKB)) for i in range(L)
+]
+_N0INV = np.uint32((-pow(FQ.p, -1, 1 << BASE)) % (1 << BASE))
+_ONE_MONT = (1 << R_POW) % FQ.p  # engine-form 1 (R' mod p)
 _ONE_LIMBS = [
-    np.uint32((FQ.one_mont >> (16 * i)) & 0xFFFF) for i in range(L)
+    np.uint32((_ONE_MONT >> (BASE * i)) & int(MASKB)) for i in range(L)
 ]
 
 
@@ -114,7 +135,7 @@ def _tree_sum(terms, zero):
     return terms[0]
 
 
-def k_mul(a, b):
+def _k_mul16(a, b):
     """Montgomery product on stacked values: SOS two-phase, bit-identical to
     `pallas_mont._mul_kernel` (same column schedule, same carry bounds)."""
     zero = jnp.zeros_like(a[0])
@@ -171,6 +192,62 @@ def k_mul(a, b):
     )
 
 
+def _k_mul13(a, b):
+    """Montgomery product in base 2^13: 13×13 products accumulate RAW in
+    u32 columns (Σ of 30 products < 2^31 — no lo/hi splits).  Computes
+    a·b·2^(-390) mod p; values live in R' = 2^390 Montgomery form."""
+    zero = jnp.zeros_like(a[0])
+    al = [a[i] for i in range(L)]
+    bl = [b[i] for i in range(L)]
+
+    # Phase 1: raw product columns with per-column carry normalization.
+    T = []
+    carry = zero
+    for k in range(2 * L - 1):
+        prods = [
+            al[i] * bl[k - i]
+            for i in range(max(0, k - L + 1), min(k, L - 1) + 1)
+        ]
+        col = carry + _tree_sum(prods, zero)
+        T.append(col & MASKB)
+        carry = col >> BASE
+    T.append(carry)
+
+    # Phase 2: interleaved Montgomery reduction, same raw accumulation.
+    m = []
+    carry = zero
+    U = []
+    for k in range(2 * L):
+        prods = [
+            m[i] * _P_LIMBS[k - i]
+            for i in range(max(0, k - L + 1), min(k, L - 1, len(m) - 1) + 1)
+        ]
+        col = T[k] + carry + _tree_sum(prods, zero)
+        if k < L:
+            mk = ((col & MASKB) * _N0INV) & MASKB
+            m.append(mk)
+            col = col + mk * _P_LIMBS[0]
+        else:
+            U.append(col & MASKB)
+        carry = col >> BASE
+    over = carry
+
+    big = np.uint32(1 << BASE)
+    diff = []
+    borrow = zero
+    for j in range(L):
+        d = U[j] + big - _P_LIMBS[j] - borrow
+        diff.append(d & MASKB)
+        borrow = np.uint32(1) - (d >> BASE)
+    take = (over != 0) | (borrow == 0)
+    return jnp.stack(
+        [jnp.where(take, diff[j], U[j]) for j in range(L)], axis=0
+    )
+
+
+k_mul = _k_mul16 if BASE == 16 else _k_mul13
+
+
 def k_add(a, b):
     """(a + b) mod p on stacked values (matches mont.add semantics)."""
     zero = jnp.zeros_like(a[0])
@@ -178,48 +255,48 @@ def k_add(a, b):
     carry = zero
     for j in range(L):
         c = a[j] + b[j] + carry
-        s.append(c & MASK16)
-        carry = c >> 16
+        s.append(c & MASKB)
+        carry = c >> BASE
     over = carry
-    big = np.uint32(1 << 16)
+    big = np.uint32(1 << BASE)
     d = []
     borrow = zero
     for j in range(L):
         x = s[j] + big - _P_LIMBS[j] - borrow
-        d.append(x & MASK16)
-        borrow = np.uint32(1) - (x >> 16)
+        d.append(x & MASKB)
+        borrow = np.uint32(1) - (x >> BASE)
     take = (over != 0) | (borrow == 0)
     return jnp.stack([jnp.where(take, d[j], s[j]) for j in range(L)], axis=0)
 
 
 def k_sub(a, b):
     zero = jnp.zeros_like(a[0])
-    big = np.uint32(1 << 16)
+    big = np.uint32(1 << BASE)
     d = []
     borrow = zero
     for j in range(L):
         x = a[j] + big - b[j] - borrow
-        d.append(x & MASK16)
-        borrow = np.uint32(1) - (x >> 16)
+        d.append(x & MASKB)
+        borrow = np.uint32(1) - (x >> BASE)
     s = []
     carry = zero
     for j in range(L):
         c = d[j] + _P_LIMBS[j] + carry
-        s.append(c & MASK16)
-        carry = c >> 16
+        s.append(c & MASKB)
+        carry = c >> BASE
     take = borrow != 0
     return jnp.stack([jnp.where(take, s[j], d[j]) for j in range(L)], axis=0)
 
 
 def k_neg(a):
     zero_mask = _tree_sum([a[j] for j in range(L)], jnp.zeros_like(a[0])) == 0
-    big = np.uint32(1 << 16)
+    big = np.uint32(1 << BASE)
     d = []
     borrow = jnp.zeros_like(a[0])
     for j in range(L):
         x = _P_LIMBS[j] + big - a[j] - borrow
-        d.append(x & MASK16)
-        borrow = np.uint32(1) - (x >> 16)
+        d.append(x & MASKB)
+        borrow = np.uint32(1) - (x >> BASE)
     return jnp.stack(
         [jnp.where(zero_mask, jnp.zeros_like(a[0]), d[j]) for j in range(L)],
         axis=0,
@@ -629,12 +706,62 @@ def pack_rows(n: int) -> int:
     return -(-rows // TILE_ROWS) * TILE_ROWS
 
 
+def _regroup(c, fb: int, tb: int, Lout: int):
+    """Re-slice the limbs-last axis from fb-bit to tb-bit limbs.
+
+    c: uint32[..., Lin] with limb values < 2^fb.  Pure shifts/ors on the
+    XLA side; exact because source limbs carry no bits above fb.
+    """
+    mask = np.uint32((1 << tb) - 1)
+    Lin = c.shape[-1]
+    outs = []
+    for j in range(Lout):
+        bit = j * tb
+        v = None
+        off = 0
+        while off < tb:
+            idx, sh = (bit + off) // fb, (bit + off) % fb
+            if idx >= Lin:
+                break
+            piece = (c[..., idx] >> np.uint32(sh)) << np.uint32(off)
+            v = piece if v is None else v | piece
+            off += fb - sh
+        outs.append((v if v is not None else jnp.zeros_like(c[..., 0]))
+                    & mask)
+    return jnp.stack(outs, axis=-1)
+
+
+def to_engine(c):
+    """uint32[..., 24] Montgomery-2^384 limbs -> engine limb form.
+
+    BASE 16: identity.  BASE 13: one XLA Montgomery multiply by 2^390
+    (moves the value into R' = 2^390 form) + limb regroup to 30×13-bit.
+    """
+    if BASE == 16:
+        return c
+    from . import mont as _m
+
+    c = _m.mul(FQ, c, _m._const_limbs(FQ, (1 << R_POW) % FQ.p))
+    return _regroup(c, 16, BASE, L)
+
+
+def from_engine(c):
+    """Engine limb form -> uint32[..., 24] Montgomery-2^384 limbs."""
+    if BASE == 16:
+        return c
+    from . import mont as _m
+
+    c16 = _regroup(c, BASE, 16, XL)
+    return _m.mul(FQ, c16, _m._const_limbs(FQ, (1 << (768 - R_POW)) % FQ.p))
+
+
 def pack(comps, n: int):
-    """List of uint32[n, 24] component arrays -> packed [k·24, R, 128]."""
+    """List of uint32[n, 24] component arrays -> packed [k·L, R, 128]
+    (engine limb layout; converts Montgomery form when BASE != 16)."""
     R = pack_rows(n)
     padded = []
     for c in comps:
-        c = c.reshape(n, L)
+        c = to_engine(c.reshape(n, XL))
         if R * LANES != n:
             c = jnp.pad(c, ((0, R * LANES - n), (0, 0)))
         padded.append(c.T.reshape(L, R, LANES))
@@ -642,12 +769,12 @@ def pack(comps, n: int):
 
 
 def unpack(packed, k: int, n: int):
-    """Packed [k·24, R, 128] -> list of uint32[n, 24] component arrays."""
+    """Packed [k·L, R, 128] -> list of uint32[n, 24] component arrays."""
     R = packed.shape[1]
     out = []
     for i in range(k):
         c = packed[i * L : (i + 1) * L].reshape(L, R * LANES).T
-        out.append(c[:n])
+        out.append(from_engine(c[:n]))
     return out
 
 
@@ -909,12 +1036,8 @@ def p_fq12_sqr(a):
 # ---------------------------------------------------------------------------
 
 def packed_one12(R: int):
-    """Packed fq12 one: component 0 = Montgomery 1, rest zero."""
-    one_col = jnp.asarray(
-        np.array(
-            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
-        )
-    )[:, None, None]
+    """Packed fq12 one: component 0 = engine-Montgomery 1, rest zero."""
+    one_col = jnp.asarray(np.array(_ONE_LIMBS, np.uint32))[:, None, None]
     planes = [jnp.broadcast_to(one_col, (L, R, LANES))] + [
         jnp.zeros((11 * L, R, LANES), jnp.uint32)
     ]
@@ -922,12 +1045,8 @@ def packed_one12(R: int):
 
 
 def packed_one2(R: int):
-    """Packed fq2 one (2 Fq components: Montgomery 1, zero)."""
-    one_col = jnp.asarray(
-        np.array(
-            [(FQ.one_mont >> (16 * i)) & 0xFFFF for i in range(L)], np.uint32
-        )
-    )[:, None, None]
+    """Packed fq2 one (2 Fq components: engine-Montgomery 1, zero)."""
+    one_col = jnp.asarray(np.array(_ONE_LIMBS, np.uint32))[:, None, None]
     return jnp.concatenate(
         [
             jnp.broadcast_to(one_col, (L, R, LANES)),
@@ -944,18 +1063,28 @@ def packed_is_one12(f):
     return jnp.all(f == want, axis=0).reshape(R * LANES)
 
 
+def _neg_engine(x):
+    """p − a on limbs-last ENGINE limbs (0 stays 0): the base-generic
+    XLA-side mirror of `k_neg` (mont.neg is hard-wired to 16-bit)."""
+    zero_mask = jnp.all(x == 0, axis=-1)
+    big = np.uint32(1 << BASE)
+    borrow = jnp.zeros_like(x[..., 0])
+    out = []
+    for j in range(L):
+        d = _P_LIMBS[j] + big - x[..., j] - borrow
+        out.append(d & MASKB)
+        borrow = np.uint32(1) - (d >> BASE)
+    res = jnp.stack(out, axis=-1)
+    return jnp.where(zero_mask[..., None], jnp.zeros_like(res), res)
+
+
 def packed_conj12(f):
-    """Conjugate (negate the c1 fq6 half) on the packed layout.
-
-    Mirrors mont.neg limb semantics via an XLA-level pass over 6 Fq
-    components (cheap: once per exp-by-x call)."""
-    from . import mont as _m
-
+    """Conjugate (negate the c1 fq6 half) on the packed layout — an
+    XLA-level pass over 6 Fq components (cheap: once per exp-by-x)."""
     R = f.shape[1]
     c0, c1 = f[: 6 * L], f[6 * L :]
-    # reshape planes -> [6, L, R, 128] -> limbs-last for mont.neg
     x = c1.reshape(6, L, R, LANES)
     x = jnp.moveaxis(x, 1, -1)  # [6, R, 128, L]
-    x = _m.neg(_m.FQ, x)
+    x = _neg_engine(x)
     x = jnp.moveaxis(x, -1, 1).reshape(6 * L, R, LANES)
     return jnp.concatenate([c0, x], axis=0)
