@@ -61,7 +61,9 @@ TILE_ROWS = 8  # sublane rows per grid block -> 1024 batch lanes per block
 # The packed domain then runs in Montgomery form R' = 2^(BASE·L); pack()/
 # unpack() convert to/from the XLA side's 24×16-bit R = 2^384 form.
 # ---------------------------------------------------------------------------
-BASE = int(os.environ.get("TC_TPU_ENGINE_BASE", "16"))
+# Default 13 since r4: +44 % per-pair pipeline, +50 % MSM throughput
+# measured on-chip, bit-exact vs the oracle under both bases.
+BASE = int(os.environ.get("TC_TPU_ENGINE_BASE", "13"))
 assert BASE in (16, 13), BASE
 XL = FQ.L  # XLA-side limbs-last width (always 24 × 16-bit)
 if BASE == 16:
