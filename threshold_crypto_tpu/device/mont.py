@@ -304,11 +304,22 @@ def _mont_mul_impl(spec: FpSpec, a, b):
 
 
 def mul(spec: FpSpec, a, b):
-    """Montgomery product dispatch: Pallas kernel on TPU, XLA scan on CPU."""
-    if use_pallas():
-        from . import pallas_mont
+    """Montgomery product dispatch: Pallas kernel on TPU, XLA scan on CPU.
 
-        return pallas_mont.mul(spec, a, b)
+    Tiny batches stay on the XLA path even on TPU: a Fermat inversion of
+    a [1]-lane value is ~760 sequential sub-ms Pallas dispatches whose
+    fixed cost dominates (measured ~76 ms per single-point inversion in
+    the r4 RLC aggregate — 3 of them per batch), while the fused XLA form
+    runs the whole scan in-program.
+    """
+    if use_pallas():
+        lanes = 1
+        for d in jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]):
+            lanes *= d
+        if lanes >= 64:
+            from . import pallas_mont
+
+            return pallas_mont.mul(spec, a, b)
     return _mul_xla(spec, a, b)
 
 
