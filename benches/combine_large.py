@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=str, default="64,256,1024")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--path", default="scalarwise",
+                    choices=["scalarwise", "bitscan", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -53,24 +55,25 @@ def main():
     h_host = hcv.G2.mul(hcv.G2.generator, rnd.randrange(1, R))
     uniq = [hcv.G2.mul(h_host, rnd.randrange(1, R)) for _ in range(8)]
 
-    fn = jax.jit(ops.combine_batch, static_argnums=0)
+    fn = jax.jit(ops.combine_batch, static_argnums=(0, 3))
     for n in sizes:
         shares = dcv.G2.from_host_affine((uniq * ((n + 7) // 8))[:n])
         xs = frops.fr_to_device(list(range(1, n + 1)))
         t0 = time.time()
-        out, ok = fn(dcv.G2, shares, xs)
+        out, ok = fn(dcv.G2, shares, xs, args.path)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
         assert bool(ok)
         ts = []
         for _ in range(args.iters):
             t0 = time.time()
-            o, _ = fn(dcv.G2, shares, xs)
+            o, _ = fn(dcv.G2, shares, xs, args.path)
             jax.block_until_ready(o)
             ts.append(time.time() - t0)
         best = min(ts)
         print(json.dumps({
             "op": "combine_signatures",
+            "path": args.path,
             "t_plus_1": n,
             "sec": round(best, 4),
             "shares_per_sec": round(n / best, 1),

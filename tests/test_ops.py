@@ -471,3 +471,24 @@ def test_rlc_exponents_transcript_binding_device_host():
         64, b"bind", pk_aff=(jnp.asarray(x), jnp.asarray(x), jnp.asarray(inf))
     )
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_pallas_keccak_kernel_matches_xla():
+    """The VMEM-resident Pallas keccak kernel (interpret mode) produces
+    the same chunk digests as the XLA scan form."""
+    import os
+
+    import jax.numpy as jnp
+    from threshold_crypto_tpu.device import keccak as dk
+
+    words = np.random.default_rng(9).integers(
+        0, 1 << 32, (5, 544), dtype=np.uint64
+    ).astype(np.uint32)
+    os.environ["TC_TPU_KECCAK_INTERPRET"] = "1"
+    try:
+        got = np.asarray(dk._sha3_chunks_pallas(jnp.asarray(words)))
+    finally:
+        del os.environ["TC_TPU_KECCAK_INTERPRET"]
+    want = np.asarray(dk.sha3_256_chunks(jnp.asarray(words)))
+    assert np.array_equal(got, want)

@@ -261,8 +261,9 @@ def _check_shared(curve, curve_host, n, nbits, window=3, mode="direct"):
     )
     aff = from_host(pts)
     scal = np.zeros((n, 16), np.uint32)
+    nlimb = min(16, -(-nbits // 16))
     for i, k in enumerate(ks):
-        for limb in range(4):
+        for limb in range(nlimb):
             scal[i, limb] = (k >> (16 * limb)) & 0xFFFF
     if mode == "direct":
         ptw.DIRECT = True
@@ -308,3 +309,10 @@ def test_msm_pallas_shared_g1_multiblock():
 # on-chip by benches/msm_shared.py, which asserts the fused result equals
 # the XLA `msm_scalarwise` oracle at N=65536 on every run (and the RLC
 # aggregate check would fail end-to-end on any mismatch).
+
+
+@pytest.mark.slow
+def test_msm_pallas_shared_255bit_combine():
+    """Full 255-bit scalars (the Lagrange-combine shape: 85 base-8
+    windows) through the shared MSM == host oracle."""
+    _check_shared(dcv.G2, hcv.G2, 4, 255, window=3)

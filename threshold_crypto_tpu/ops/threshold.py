@@ -470,14 +470,19 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
     (the reference's DuplicateEntry, `/root/reference/src/lib.rs:763`).
 
     `path` selects the MSM structure (ADVICE r3: this is a routing choice,
-    not a window width — both routes run window=1 ladders internally):
+    not a window width):
 
     * "scalarwise" (default): N independent bit-scan ladders + one
-      scan-fold reduction — the TPU path (compiles in ~2 min at any N;
-      windowed table builds would cost ~28 s of XLA:TPU compile per
-      unrolled point-op body, tens of minutes total).
+      scan-fold reduction — the conservative path (compiles in ~2 min at
+      any N; windowed table builds would cost ~28 s of XLA:TPU compile
+      per unrolled point-op body, tens of minutes total).
     * "bitscan": one shared accumulator over `curve.msm` — the CPU dryrun
       path, where that graph shape is proven to compile in minutes.
+    * "pallas": the shared-window Horner Pallas MSM
+      (`pallas_curve.msm_pallas_shared`, 255-bit scalars → 85 base-8
+      windows) — the r4 TPU fast path: one complete add per share per
+      window instead of 255 doublings per lane (~20× at t+1=4096,
+      measured in benches/combine_large.py).
     """
     lam_mont, ok = frops.lagrange_coeffs_at_zero(xs_mont)
     lam_plain = frops.fr_to_plain(lam_mont)
@@ -485,6 +490,12 @@ def combine_batch(curve: dcv.DeviceCurve, shares_jac, xs_mont,
         out = curve.msm(shares_jac, lam_plain, window=1)
     elif path == "scalarwise":
         out = curve.msm_scalarwise(shares_jac, lam_plain, window=1)
+    elif path == "pallas":
+        from ..device import pallas_curve as pcv
+
+        aff = jacobian_to_affine(curve, shares_jac)
+        out = pcv.msm_pallas_shared(curve, aff, lam_plain, nbits=255,
+                                    window=3)
     else:
         raise ValueError(f"unknown combine path {path!r}")
     return out, ok
