@@ -151,20 +151,43 @@ def _lagrange_matrix(xs):
     return lam, ~(dup | zero_x)
 
 
+_LAGRANGE_CHUNK = 256
+
+
 def _lagrange_scan(xs):
+    """O(N·chunk) memory form: the difference matrix is built CHUNK
+    columns at a time (vs the r3 one-column-per-step scan, whose N
+    sequential multiply dispatches cost ~0.4 s at N=4096 — each scan
+    step is an in-program kernel launch)."""
     n = xs.shape[0]
+    chunk = _LAGRANGE_CHUNK
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
     prod_all = _prod_leading(xs)
     ones = jnp.broadcast_to(mont.one(FR), (n, FR.L))
 
-    def body(carry, xj):
+    xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+    live = jnp.pad(jnp.ones(n, bool), (0, pad))
+    xj_chunks = xs_p.reshape(nchunks, chunk, FR.L)
+    live_chunks = live.reshape(nchunks, chunk)
+
+    def body(carry, inputs):
         den, dup = carry
-        diff = mont.sub(FR, xj[None, :], xs)  # (x_j − x_i) for all i
-        iszero = mont.is_zero(FR, diff)  # one hit (i == j) unless duplicates
-        dup = dup | (jnp.sum(iszero) > 1)
-        den = mont.mul(FR, den, mont.select(iszero, ones, diff))
+        xj, lv = inputs  # [chunk, 16], [chunk]
+        diff = mont.sub(FR, xj[:, None, :], xs[None, :, :])  # [chunk, N, 16]
+        iszero = mont.is_zero(FR, diff) & lv[:, None]
+        # each live x_j hits exactly its own row unless duplicates exist
+        dup = dup | jnp.any(jnp.sum(iszero, axis=1) > 1)
+        masked = mont.select(
+            iszero | ~lv[:, None], jnp.broadcast_to(mont.one(FR), diff.shape),
+            diff,
+        )
+        den = mont.mul(FR, den, _prod_leading(masked))
         return (den, dup), None
 
-    (den, dup), _ = jax.lax.scan(body, (ones, jnp.bool_(False)), xs)
+    (den, dup), _ = jax.lax.scan(
+        body, (ones, jnp.bool_(False)), (xj_chunks, live_chunks)
+    )
     den = mont.mul(FR, xs, den)
     zero_x = jnp.any(mont.is_zero(FR, xs))
     den_inv = mont.batch_inv(FR, den)
