@@ -316,3 +316,32 @@ def test_msm_pallas_shared_255bit_combine():
     """Full 255-bit scalars (the Lagrange-combine shape: 85 base-8
     windows) through the shared MSM == host oracle."""
     _check_shared(dcv.G2, hcv.G2, 4, 255, window=3)
+
+
+def test_msm_pallas_nofold_matches_scalar_mul():
+    """fold=False (the per-lane Pallas scalar-mul behind encrypt_batch_
+    pallas) == the XLA scalar_mul ladder, lane for lane."""
+    from threshold_crypto_tpu.device import pairing as dpr
+
+    n = 8
+    pts = _host_points(hcv.G1, n)
+    pts[5] = None
+    aff = dpr.g1_affine_from_host(pts)
+    scalars = np.zeros((n, 16), np.uint32)
+    for i in range(n):
+        scalars[i, 0] = rnd.randrange(256)
+    scalars = jnp.asarray(scalars)
+
+    ptw.DIRECT = True
+    try:
+        got = pcv.msm_pallas(dcv.G1, aff, scalars, nbits=8, window=4,
+                             fold=False)
+    finally:
+        ptw.DIRECT = False
+
+    jac = dcv.G1.from_host_affine(pts)
+    want = dcv.G1.scalar_mul(jac, scalars, nbits=8, window=1)
+    ok = np.asarray(dcv.G1.eq(got, want))
+    # the infinity lane's digits are masked: its product must be infinity
+    assert bool(np.asarray(dcv.G1.is_infinity(got))[5])
+    assert ok[np.arange(n) != 5].all()

@@ -676,13 +676,16 @@ def _jac_comps(curve, jac_tree):
 
 
 def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
-               window: int = 1):
+               window: int = 1, fold: bool = True):
     """Σ points_i·scalars_i through the fused Pallas step kernels.
 
     curve: dcv.G1 / dcv.G2; points_aff: the affine pytree (x, y, inf) of
     `device/pairing.g{1,2}_affine_from_host` layout; scalars: uint32[N, 16]
     canonical plain limbs.  Returns an UNBATCHED XLA Jacobian pytree
-    (limbs-last), equal to `curve.msm*` on the same inputs.
+    (limbs-last), equal to `curve.msm*` on the same inputs — or, with
+    fold=False, the per-lane products scalars_i·points_i as a BATCHED
+    Jacobian pytree [N] (the megakernel form of `curve.scalar_mul`; the
+    batched-encrypt path uses this, `ops.encrypt_batch`).
 
     window=1: scan over single bits (1 dbl + gated mixed add per bit).
     window=4: a 15-entry Jacobian multiple table per lane (built with ONE
@@ -775,7 +778,19 @@ def msm_pallas(curve, points_aff, scalars, nbits: int = 64,
         )
     else:
         jac = (comps_out[0], comps_out[1], comps_out[2])
+    if not fold:
+        return jac
     return dcv.fold_sum(curve, jac)
+
+
+def scalar_mul_pallas(curve, points_aff, scalars, nbits: int = 255,
+                      window: int = 4):
+    """Per-lane scalars_i·points_i on the Pallas ladder (no fold): the
+    megakernel form of `curve.scalar_mul` for full-width scalars —
+    batched encryption's three scalar-muls ride this
+    (`/root/reference/src/lib.rs:128-137`)."""
+    return msm_pallas(curve, points_aff, scalars, nbits=nbits,
+                      window=window, fold=False)
 
 
 def _packed_one_planes(R):

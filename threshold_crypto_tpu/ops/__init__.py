@@ -34,6 +34,7 @@ from .threshold import (  # noqa: F401
     decrypt_share_batch,
     derive_shares,
     encrypt_batch,
+    encrypt_batch_pallas,
     encrypt_begin_batch,
     encrypt_finish_batch,
     jacobian_to_affine,

@@ -119,6 +119,24 @@ def encrypt_batch(pk_jac, r_plain, huv_jac):
     return u, g, w
 
 
+def encrypt_batch_pallas(pk_aff, r_plain, huv_aff):
+    """`encrypt_batch` on the Pallas per-lane ladders (255-bit, window=4)
+    — the TPU fast path for the three scalar-muls of
+    `/root/reference/src/lib.rs:128-137`.
+
+    pk_aff / huv_aff: G1 / G2 affine pytrees [N] (broadcast a shared key
+    to the batch).  Returns (u_jac [N], g_jac [N], w_jac [N]).
+    """
+    from ..device import pallas_curve as pcv
+
+    n = r_plain.shape[0]
+    gen = _gen_g1((n,))
+    u = pcv.scalar_mul_pallas(dcv.G1, gen, r_plain)
+    g = pcv.scalar_mul_pallas(dcv.G1, pk_aff, r_plain)
+    w = pcv.scalar_mul_pallas(dcv.G2, huv_aff, r_plain)
+    return u, g, w
+
+
 # ---------------------------------------------------------------------------
 # Verify (batched 2-pair product checks)
 # ---------------------------------------------------------------------------
