@@ -321,6 +321,20 @@ def transcript_digests(leaves):
     from .. import hashing
 
     wpc = CHUNK_BYTES // 4
+
+    def _globalize(leaf):
+        # Multi-process meshes: a shard-spanning array cannot be fetched
+        # (or hashed into one process-local transcript) directly — gather
+        # the GLOBAL value so every process derives identical digests.
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(leaf, tiled=True)
+            )
+        return leaf
+
+    leaves = [_globalize(leaf) for leaf in leaves]
     main = []        # ("dev", [k, wpc] jax) | ("hostmain", np [k, wpc])
     fetch = []       # device arrays to pull host-side
     host_stream = [] # ("bytes", raw) | ("fetch", idx)
