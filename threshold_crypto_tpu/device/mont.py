@@ -387,33 +387,40 @@ def inv(spec: FpSpec, a):
 
 
 def batch_inv(spec: FpSpec, a):
-    """Montgomery-trick batched inversion along the leading axis.
+    """Product-tree batched inversion along the leading axis.
 
     [N, ..., L] -> [N, ..., L]; one Fermat inversion total instead of N.
-    Zero entries map to zero (masked to 1 during the scan).
+    Zero entries map to zero (masked to 1 during the tree walk).
+
+    Structure: a pairwise product tree UP (N batched muls over log₂N
+    levels), one Fermat inversion at the root, then DOWN the tree —
+    inv(left) = inv(parent)·right, inv(right) = inv(parent)·left (2N
+    batched muls).  Both the r3 Python-unrolled form (O(N) graph) and the
+    scan form that replaced it (2N *serial* single-lane multiplies —
+    ~0.5 s at N=4096, the dominant λ cost once the denominator sweep moved
+    into the fused Pallas kernel) are gone: graph size and sequential
+    depth are both O(log N) with every multiply batch-wide.
     """
     zmask = is_zero(spec, a)
     a_safe = select(zmask, one(spec, a.shape[:-1]), a)
+    n = a.shape[0]
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    if m != n:
+        pad = jnp.broadcast_to(one(spec, a.shape[1:-1]),
+                               (m - n,) + a.shape[1:])
+        a_safe = jnp.concatenate([a_safe, pad], axis=0)
 
-    # prefix[i] = a_0 · … · a_i via one scan (VERDICT r3 weak #7: the old
-    # unrolled Python loop built O(N) graphs — a tracing liability at the
-    # N=65536 combines this sits behind).
-    def fwd(acc, x):
-        nxt = mul(spec, acc, x)
-        return nxt, nxt
+    levels = [a_safe]
+    while levels[-1].shape[0] > 1:
+        cur = levels[-1]
+        levels.append(mul(spec, cur[0::2], cur[1::2]))
 
-    _, prefix = jax.lax.scan(fwd, one(spec, a.shape[1:-1]), a_safe)
-    total_inv = inv(spec, prefix[-1])
-
-    # backward sweep: out_i = (a_{i+1}·…·a_{n-1})⁻¹-free form
-    #   out_i = acc · prefix_{i-1};  acc ·= a_i   (i = n-1 … 1)
-    def bwd(acc, xs):
-        x, pref_prev = xs
-        out = mul(spec, acc, pref_prev)
-        return mul(spec, acc, x), out
-
-    acc, outs_rev = jax.lax.scan(
-        bwd, total_inv, (a_safe[1:][::-1], prefix[:-1][::-1])
-    )
-    out = jnp.concatenate([acc[None], outs_rev[::-1]], axis=0)
-    return select(zmask, jnp.zeros_like(a), out)
+    inv_cur = inv(spec, levels[-1])  # [1, ..., L]
+    for lev in levels[-2::-1]:
+        left, right = lev[0::2], lev[1::2]
+        inv_left = mul(spec, inv_cur, right)
+        inv_right = mul(spec, inv_cur, left)
+        inv_cur = jnp.stack([inv_left, inv_right], axis=1).reshape(
+            (lev.shape[0],) + lev.shape[1:]
+        )
+    return select(zmask, jnp.zeros_like(a), inv_cur[:n])

@@ -17,6 +17,8 @@ helpers convert to the canonical (plain) limb form `scalar_bits` expects.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,15 +119,48 @@ def lagrange_coeffs_at_zero(xs):
     `batch_inv` (vs the reference's N extended-Euclid inversions):
 
     * N ≤ 1024: the N×N difference matrix, fully data-parallel;
-    * N > 1024: a `lax.scan` over j accumulating den_i ·= (x_j − x_i) —
-      O(N) memory, so t=4095+ combines never materialize N² limbs
-      (the reference's own denominator loop shape,
-      `/root/reference/src/lib.rs:754-763`).
+    * N > 1024 under Pallas: ONE fused systolic all-pairs kernel
+      (`device/pallas_fr.lagrange_rowprod`) — the r4 λ computation ran
+      its N² Fr products through the generic per-call multiply at
+      ~38 M Fr-mul/s and dominated large combines (PERF.md);
+    * N > 1024 otherwise: a chunked `lax.scan` over j accumulating
+      den_i ·= (x_j − x_i) — O(N·chunk) memory, so t=4095+ combines
+      never materialize N² limbs (the reference's own denominator loop
+      shape, `/root/reference/src/lib.rs:754-763`).
     """
     n = xs.shape[0]
     if n <= _LAGRANGE_MATRIX_MAX:
         return _lagrange_matrix(xs)
+    if _use_pallas_lagrange():
+        return _lagrange_pallas(xs)
     return _lagrange_scan(xs)
+
+
+def _use_pallas_lagrange() -> bool:
+    env = os.environ.get("TC_TPU_LAGRANGE")
+    if env is not None:
+        return env not in ("0", "false", "")
+    from ..device import pallas_fr
+
+    return mont.use_pallas() or pallas_fr.DIRECT
+
+
+def _lagrange_pallas(xs):
+    """Fused-kernel form: the O(N²) denominator sweep stays in VMEM.
+
+    Same math and failure semantics as `_lagrange_matrix`; the duplicate
+    flag comes from the kernel's zero-diff count (exactly one zero per
+    lane — its own diagonal — iff all x's are distinct)."""
+    from ..device import pallas_fr
+
+    prod_all = _prod_leading(xs)
+    row_prod, zcnt = pallas_fr.lagrange_rowprod(xs)
+    dup = jnp.any(zcnt != 1)
+    den = mont.mul(FR, xs, row_prod)
+    zero_x = jnp.any(mont.is_zero(FR, xs))
+    den_inv = mont.batch_inv(FR, den)
+    lam = mont.mul(FR, jnp.broadcast_to(prod_all, den_inv.shape), den_inv)
+    return lam, ~(dup | zero_x)
 
 
 def _lagrange_matrix(xs):
