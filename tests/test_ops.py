@@ -130,6 +130,30 @@ def test_jacobian_affine_roundtrip(sig_setup):
     assert dcv.G1.to_host_affine(back) == pts
 
 
+def test_batch_inv_field_fq_fq2():
+    """Product-tree field inversion: Fq with a zero lane, Fq2, and a
+    non-power-of-two batch (tree padding edge)."""
+    from threshold_crypto_tpu.device import mont, tower as tw
+
+    vals = [7, 0, 12345, mont.FQ.p - 3, 999]  # n=5 -> padded to 8
+    a = jax.numpy.asarray(mont.stack_mont(mont.FQ, vals))
+    got = mont.unstack_mont(mont.FQ, np.asarray(tops.batch_inv_field(
+        dcv.G1.f, a)))
+    assert got == [pow(v, -1, mont.FQ.p) if v else 0 for v in vals]
+
+    f2 = dcv.G2.f
+    pairs = [(3, 8), (mont.FQ.p - 1, 5), (0, 11)]
+    b = tw.fq2_from_host(pairs[0], (len(pairs),))
+    b = tuple(
+        jax.numpy.asarray(mont.stack_mont(mont.FQ, [p[i] for p in pairs]))
+        for i in range(2)
+    )
+    inv2 = tops.batch_inv_field(f2, b)
+    prod = f2.mul(b, inv2)
+    one = f2.one((len(pairs),))
+    assert np.asarray(f2.eq(prod, one)).all()
+
+
 @pytest.mark.slow
 def test_verify_batch_stepwise(sig_setup):
     _, _, h_host, _, _, pk_host, sig_host = sig_setup

@@ -362,11 +362,27 @@ def _bits_msb(e: int):
     return [int(b) for b in bin(e)[2:]]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def pow_fixed(spec: FpSpec, a, e: int):
-    """a^e for a fixed public exponent, via lax.scan square-and-multiply."""
+    """a^e for a fixed public exponent.
+
+    Large exponents on the Pallas path run the whole square-and-multiply
+    chain inside ONE kernel (`pallas_mont.pow_fixed`): the lax.scan form
+    is one multiply *dispatch* per exponent bit — a 381-bit Fermat
+    inversion measured 45 ms at [4096] lanes and 74 ms even for a single
+    point, dispatch-bound at any width, vs ~5 ms in-kernel.  Small
+    exponents (ladder steps, tiny constants) stay on the scan form.
+    """
     if e == 0:
         return one(spec, a.shape[:-1])
+    if use_pallas() and e.bit_length() > 32:
+        from . import pallas_mont
+
+        return pallas_mont.pow_fixed(spec, a, e)
+    return _pow_fixed_xla(spec, a, e)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _pow_fixed_xla(spec: FpSpec, a, e: int):
     bits = jnp.asarray(_bits_msb(e), dtype=jnp.uint32)
 
     def body(acc, bit):
@@ -392,7 +408,12 @@ def batch_inv(spec: FpSpec, a):
     [N, ..., L] -> [N, ..., L]; one Fermat inversion total instead of N.
     Zero entries map to zero (masked to 1 during the tree walk).
 
-    Structure: a pairwise product tree UP (N batched muls over log₂N
+    On the Pallas path this is simply `inv` — the in-kernel Fermat chain
+    (`pallas_mont.pow_fixed`) runs the whole batch in one dispatch, which
+    measures FASTER than any host-orchestrated tree (each tree level is
+    its own in-program dispatch at ~50-100 µs fixed cost).
+
+    XLA/CPU path: a pairwise product tree UP (N batched muls over log₂N
     levels), one Fermat inversion at the root, then DOWN the tree —
     inv(left) = inv(parent)·right, inv(right) = inv(parent)·left (2N
     batched muls).  Both the r3 Python-unrolled form (O(N) graph) and the
@@ -401,6 +422,8 @@ def batch_inv(spec: FpSpec, a):
     into the fused Pallas kernel) are gone: graph size and sequential
     depth are both O(log N) with every multiply batch-wide.
     """
+    if use_pallas():
+        return inv(spec, a)
     zmask = is_zero(spec, a)
     a_safe = select(zmask, one(spec, a.shape[:-1]), a)
     n = a.shape[0]

@@ -180,3 +180,151 @@ def mul(spec, a, b):
     if n_pad != n:
         out = out[:n]
     return out.reshape(shape + (L,))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-exponent power megakernel (Fermat inversion, sqrt exponents).
+#
+# `mont.pow_fixed`'s lax.scan runs one multiply dispatch per exponent bit:
+# a 381-bit Fermat inversion is ~760 sequential in-program kernel launches
+# (~50-100 µs fixed cost each on the tunneled chip), measured 45 ms for a
+# [4096] Fq batch and 74 ms even for a SINGLE point — dispatch-bound at any
+# width.  Here the whole square-and-multiply chain runs inside ONE kernel:
+# the exponent bits sit in SMEM, the accumulator stays in registers/VMEM,
+# and each fori_loop step is a fused sqr + conditional-multiply (the
+# "conditional" is a lane-wide select on a scalar bit — branch-free).
+# ---------------------------------------------------------------------------
+
+
+def _k_mul_stacked(spec, a, b):
+    """Montgomery product on stacked uint32[L, S, 128] values — the same
+    two-phase SOS column schedule as `_mul_kernel`, in functional form so
+    it can live inside loop bodies (pallas_fr.k_mul generalized to any
+    16-bit-limb FpSpec)."""
+    L = spec.L
+    P = [np.uint32(v) for v in spec.p_limbs]
+    n0inv = np.uint32(spec.n0inv)
+    zero = jnp.zeros_like(a[0])
+    al = [a[i] for i in range(L)]
+    bl = [b[i] for i in range(L)]
+
+    def tsum(terms):
+        if not terms:
+            return zero
+        terms = list(terms)
+        while len(terms) > 1:
+            nxt = [terms[i] + terms[i + 1]
+                   for i in range(0, len(terms) - 1, 2)]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
+    T = []
+    carry = zero
+    for k in range(2 * L - 1):
+        prods = [al[i] * bl[k - i]
+                 for i in range(max(0, k - L + 1), min(k, L - 1) + 1)]
+        col = carry + tsum([q & MASK16 for q in prods])
+        hi = tsum([q >> 16 for q in prods])
+        T.append(col & MASK16)
+        carry = (col >> 16) + hi
+    T.append(carry & MASK16)
+
+    m = []
+    carry = zero
+    U = []
+    for k in range(2 * L):
+        prods = [m[i] * P[k - i]
+                 for i in range(max(0, k - L + 1),
+                                min(k, L - 1, len(m) - 1) + 1)]
+        col = T[k] + carry + tsum([q & MASK16 for q in prods])
+        hi = tsum([q >> 16 for q in prods])
+        if k < L:
+            mk = ((col & MASK16) * n0inv) & MASK16
+            m.append(mk)
+            prod = mk * P[0]
+            col = col + (prod & MASK16)
+            hi = hi + (prod >> 16)
+        else:
+            U.append(col & MASK16)
+        carry = (col >> 16) + hi
+    over = carry
+
+    big = np.uint32(1 << 16)
+    diff = []
+    borrow = zero
+    for j in range(L):
+        d = U[j] + big - P[j] - borrow
+        diff.append(d & MASK16)
+        borrow = np.uint32(1) - (d >> 16)
+    take = (over != 0) | (borrow == 0)
+    return jnp.stack(
+        [jnp.where(take, diff[j], U[j]) for j in range(L)], axis=0
+    )
+
+
+def _pow_kernel(spec, nbits, a_ref, bits_ref, o_ref):
+    L = spec.L
+    one = jnp.stack(
+        [jnp.full((TILE_ROWS, LANES),
+                  np.uint32((spec.one_mont >> (16 * i)) & 0xFFFF),
+                  jnp.uint32)
+         for i in range(L)],
+        axis=0,
+    )
+    base = jnp.stack([a_ref[i] for i in range(L)], axis=0)
+
+    def body(i, acc):
+        acc = _k_mul_stacked(spec, acc, acc)
+        withm = _k_mul_stacked(spec, acc, base)
+        bit = bits_ref[i]
+        return jnp.where(bit != 0, withm, acc)
+
+    out = jax.lax.fori_loop(0, nbits, body, one)
+    o_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _pow_rows(spec, a, bits, nbits: int):
+    """Limb-major (L, R, 128) base -> (L, R, 128) a^e (MSB-first bits)."""
+    L = spec.L
+    R = a.shape[1]
+    grid = R // TILE_ROWS
+    block = pl.BlockSpec(
+        (L, TILE_ROWS, LANES), lambda g: (0, g, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_pow_kernel, spec, nbits),
+        grid=(grid,),
+        in_specs=[block, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.uint32),
+        interpret=INTERPRET,
+    )(a, bits)
+
+
+def pow_fixed(spec, a, e: int):
+    """Batched a^e on ``uint32[..., L]`` Montgomery limbs, one kernel
+    dispatch per ⌈batch/1024⌉ row blocks (sequential grid).  Semantics
+    identical to `mont.pow_fixed` (0^e = 0 via Fermat for e = p−2)."""
+    L = spec.L
+    shape = a.shape[:-1]
+    n = 1
+    for d in shape:
+        n *= d
+    block = TILE_ROWS * LANES
+    n_pad = max(-(-n // block), 1) * block
+
+    x = a.reshape(n, L)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    rows = x.T.reshape(L, n_pad // LANES, LANES)
+
+    bits = jnp.asarray([int(b) for b in bin(e)[2:]], dtype=jnp.int32)
+    out = _pow_rows(spec, rows, bits, int(bits.shape[0]))
+    out = out.reshape(L, n_pad).T
+    if n_pad != n:
+        out = out[:n]
+    return out.reshape(shape + (L,))
