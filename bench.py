@@ -2,29 +2,32 @@
 
 Prints one or more JSON lines; each line is a COMPLETE result (the driver
 may parse the first or the last — both are valid), later lines strictly
-upgrade earlier ones.  Stage order is chosen so a valid line lands within
-minutes no matter what happens later (VERDICT r2 #1: the round-2 bench
-burned its whole budget on a cold Pallas compile and printed nothing):
+upgrade earlier ones.
 
-  1. stepwise per-pair verification at batch 512 — small jitted kernels,
-     ~3-8 min cold (~2.5 min with a warm .jax_cache), prints the first
-     JSON line.
-  2. (off-TPU only) stepwise RLC batch verification.
-  3. a child subprocess launched CONCURRENTLY with stage 1 (the chip and
-     compile service tolerate two clients; a child can also be killed at
-     the deadline, which an in-process compile cannot):
-     (a) RLC batch verification at N=262144 — the protocol's dominant
-         pattern (N same-message share verifies,
-         `/root/reference/src/lib.rs:177-179` in a loop) as two 64-bit
-         shared-window Horner Pallas MSMs (+ on-device transcript
-         SHA3/ChaCha exponents) + ONE replicated product check, then
-     (b) the strict per-pair Pallas pipeline at batch 8192 (its
-         throughput-bound shape), reusing (a)'s check executable.
-     Both big programs load from the AOT executable cache when warm
-     (35 s to first result, benches/warmstart.py); the parent collects
-     the stage lines under the remaining budget and emits an upgraded
-     result line.  Measured r4 rates: RLC ~212k equivalent
-     share-verifies/s, per-pair ~25k/s (PERF.md).
+The round-4 lesson (VERDICT r4 #1): the big Pallas programs cost
+420-930 s of XLA+Mosaic compile EACH from a cold cache — no ladder of
+cold compiles can land the ≥1e5 headline inside a ~520 s driver budget.
+Round 5 therefore ships the two headline executables with the source
+(`prebuilt/` — xz-compressed AOT entries, `utils/prebuilt.py`) and the
+bench begins by materializing them, so the normal path is WARM:
+
+  warm (prebuilt AOT entries match the current source/device/jax):
+    child process AOT-loads the RLC MSM pair program (N=262144) and the
+    fused per-pair check (vbp512/vbp8192) — no tracing, no XLA — and
+    lands the RLC headline in ~1-2 min.  The parent runs stage-1
+    stepwise only as a late fallback if the child goes silent.
+
+  cold (entries missing or stale — e.g. a source edit without
+  re-running benches/make_prebuilt.py):
+    exactly the round-3 configuration that is MEASURED to land at 424 s
+    cold on this host: stage-1 stepwise per-pair concurrently with a
+    child running ladder-MSM RLC at N=16384 + the Pallas check at 512
+    lanes, on the faster-compiling 16-bit engine (TC_TPU_ENGINE_BASE=16
+    for the child; the 13-bit default compiles ~1.5x slower).
+
+Stage rates measured in r4/r5 (PERF.md): RLC shared-window ~212k
+equivalent share-verifies/s at N=262144 (148k at 65536), per-pair
+pallas 25k/s at batch 8192 (7.8k at 512), cold-ladder RLC ~32.5k/s.
 
 The headline `value` is the best measured share-verification rate;
 `vs_baseline` is value / 1e5 (the ≥1e5 verifies/s/chip build target —
@@ -51,6 +54,7 @@ import sys
 import time
 
 _T0 = time.time()
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Analytic cost model for roofline accounting (see device/pallas_tower.py):
 # per verification = 2 Miller loops (63 dbl-iters á 122 + 5 add-iters á 82
@@ -116,12 +120,21 @@ def _measure(fn, args, iters, np, jax):
     return out, min(times), compile_s
 
 
+def _warm_keys(rlc_batch, check_batch, batch):
+    keys = [f"rlcagg-shared{rlc_batch}", f"vbp{check_batch}"]
+    if batch != check_batch:
+        keys.append(f"vbp{batch}")
+    return keys
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0,
                     help="per-pair verification batch size (0 = auto)")
     ap.add_argument("--rlc-batch", type=int, default=0,
                     help="RLC batch-verification share count (0 = auto)")
+    ap.add_argument("--check-batch", type=int, default=512,
+                    help="replicated lanes of the RLC aggregate check")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--path", choices=["auto", "pallas", "stepwise"],
                     default="auto")
@@ -131,40 +144,49 @@ def main() -> None:
     ap.add_argument("--with-hash", action="store_true",
                     help="also measure hash_g2 and end-to-end verify rate")
     ap.add_argument("--child-pallas", action="store_true",
-                    help=argparse.SUPPRESS)  # internal: pallas-only stage
+                    help=argparse.SUPPRESS)  # internal: warm AOT stage
+    ap.add_argument("--child-cold", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: cold-ladder stage
     args = ap.parse_args()
+
+    # Materialize the shipped warm caches BEFORE the first compile: a
+    # fresh checkout has empty .jax_cache/.jax_aot (both gitignored),
+    # which is exactly the r4 scoreboard failure.
+    from threshold_crypto_tpu.utils import prebuilt
+
+    unpacked = prebuilt.unpack(_HERE)
+    if unpacked and not (args.child_pallas or args.child_cold):
+        print(f"# prebuilt: materialized {unpacked} cache entries "
+              f"({_elapsed():.0f}s)", file=sys.stderr)
 
     import jax
 
     # Persistent compile cache: cold Mosaic+XLA compiles for the megakernel
     # program cost minutes; cache them across processes.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(_HERE, ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import numpy as np
 
-    from threshold_crypto_tpu import ops as _ops_aot
+    from threshold_crypto_tpu import ops
 
     # AOT executable cache: a warm process deserializes the big compiled
     # programs directly (skips the ~2-3 min client-side tracing floor).
-    _ops_aot.set_aot_cache(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_aot")
-    )
+    ops.set_aot_cache(os.path.join(_HERE, ".jax_aot"))
 
     platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
+    on_tpu = platform == "tpu" or bool(int(os.environ.get(
+        "TC_BENCH_ASSUME_TPU", "1"
+    )) and platform not in ("cpu", "gpu"))  # tunneled-TPU platform aliases
     # per-pair batch 8192 = the pipeline's throughput-bound point (VERDICT
-    # r3 #4: 512 was latency-bound and understated the rate 3x); the RLC
-    # stage reuses the same executable for its aggregate check, so the
-    # check cost amortizes over a large rlc_batch.
+    # r3 #4: 512 was latency-bound and understated the rate 3x).
     batch = args.batch or (8192 if on_tpu else 16)
-    rlc_batch = getattr(args, "rlc_batch", 0) or (262144 if on_tpu else 32)
+    rlc_batch = args.rlc_batch or (262144 if on_tpu else 32)
+    check_batch = args.check_batch
     stepwise_batch = min(batch, 512)  # stage 1 is dispatch-bound: keep small
 
-    from threshold_crypto_tpu import ops
     from threshold_crypto_tpu.device import pairing as dpr
     from threshold_crypto_tpu.device import pallas_tower as _ptw
     from threshold_crypto_tpu.host import curve as hcv
@@ -173,46 +195,44 @@ def main() -> None:
     global U32_OPS_PER_FQ_MUL
     U32_OPS_PER_FQ_MUL = 5_800 if _ptw.BASE == 16 else 4_000
 
-    # ---- child mode: pallas per-pair, then Pallas-MSM RLC (shares the
-    # per-pair executable for its aggregate check); one stage line each ----
+    # ---- child modes: emit one JSON stage line per milestone -------------
     if args.child_pallas:
-        pk_aff, h_aff, sig_aff = _make_batch(batch, dpr, hcv, R)
-        # RLC first: its aggregate check compiles the shared per-pair
-        # executable (verify_batch_pallas_jit at the same shapes), so the
-        # per-pair measurement afterwards is nearly free — and if the
-        # parent's deadline kills this child, the line lost is the smaller
-        # one, not the 6x-better RLC headline.
-        try:
-            rate, extras = _bench_rlc_pallas(
-                rlc_batch, batch, args.iters, np, jax
-            )
-            _emit({"stage": "rlc_pallas", "rate": rate, **extras})
-        except Exception as e:
-            print(f"# rlc_pallas stage failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-        out, best, compile_s = _measure(
-            ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
-            args.iters, np, jax,
-        )
-        assert out.all(), f"pallas verification batch failed: {out[:8]}"
-        _emit({"stage": "pallas", "per_pair": batch / best,
-               "compile_s": round(compile_s, 1)})
+        _child_warm(args, rlc_batch, batch, check_batch, np, jax,
+                    dpr, hcv, R, ops)
+        return
+    if args.child_cold:
+        _child_cold(args, np, jax, dpr, hcv, R, ops)
         return
 
-    # ---- launch the Pallas child NOW, concurrent with stage 1: the chip
-    # and the remote compile service both tolerate two clients, and the
-    # child's cold compile is the long pole (VERDICT r3 rehearsals: stage 1
-    # alone can eat 150-480 s; serializing the stages made upgrades miss
-    # the deadline).  The parent collects it under the remaining budget
-    # after stage 1; stage 1's line lands regardless. ---------------------
+    warm = on_tpu and all(
+        prebuilt.aot_entry_exists(k, _HERE)
+        for k in _warm_keys(rlc_batch, check_batch, batch)
+    )
+
+    # ---- launch the child: warm = AOT-load the headline executables
+    # (first line in ~1-2 min); cold = the r3-proven ladder config.  The
+    # chip and the compile service tolerate two clients, and a child can
+    # be killed at the deadline, which an in-process compile cannot. ----
     child = None
     if args.path != "stepwise" and on_tpu:
-        cmd = [sys.executable, os.path.abspath(__file__), "--child-pallas",
-               "--batch", str(batch), "--rlc-batch", str(rlc_batch),
-               "--iters", str(args.iters)]
+        if warm:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child-pallas", "--batch", str(batch),
+                   "--rlc-batch", str(rlc_batch),
+                   "--check-batch", str(check_batch),
+                   "--iters", str(args.iters)]
+            env = None
+        else:
+            # r3-measured cold config: ladder MSM at N=16384 + check at
+            # 512, 16-bit engine (lands at ~424 s cold; PERF.md r3)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child-cold", "--iters", str(args.iters)]
+            env = dict(os.environ, TC_TPU_ENGINE_BASE="16")
+        print(f"# launching {'warm' if warm else 'cold'} child "
+              f"({_elapsed():.0f}s)", file=sys.stderr)
         child = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            text=True, cwd=_HERE, env=env,
         )
 
     result = {
@@ -222,6 +242,7 @@ def main() -> None:
         "vs_baseline": 0.0,
         "batch": batch,
         "platform": platform,
+        "warm_start": bool(warm),
     }
     import threading
 
@@ -237,6 +258,7 @@ def main() -> None:
         if obj.get("stage") == "pallas":
             result["per_pair_verifies_per_sec"] = round(obj["per_pair"], 2)
             result["per_pair_path"] = "pallas"
+            result["per_pair_batch"] = obj.get("batch")
             result["pallas_compile_s"] = obj["compile_s"]
             fq = obj["per_pair"] * FQ_MULS_PER_VERIFY
             result["fq_mul_rate"] = round(fq)
@@ -244,7 +266,7 @@ def main() -> None:
                 fq * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
             )
             set_headline(obj["per_pair"], "per_pair_pallas")
-        elif obj.get("stage") == "rlc_pallas":
+        elif obj.get("stage") in ("rlc_pallas", "rlc_ladder"):
             result["rlc_share_verifies_per_sec"] = round(obj["rate"], 2)
             result["rlc_batch"] = obj.get("rlc_batch")
             result["rlc_compile_s"] = obj.get("compile_s")
@@ -254,9 +276,9 @@ def main() -> None:
         _emit(result)
 
     def _child_reader():
-        # Stream the child's stage lines AS THEY LAND: if stage 1's compile
-        # overruns the driver's own kill (the r2 failure mode), the RLC
-        # headline has already been printed by this thread.
+        # Stream the child's stage lines AS THEY LAND: if a later-stage
+        # compile overruns the driver's own kill (the r2 failure mode),
+        # the earlier headline has already been printed by this thread.
         for line in child.stdout:
             try:
                 obj = json.loads(line)
@@ -270,30 +292,45 @@ def main() -> None:
         reader = threading.Thread(target=_child_reader, daemon=True)
         reader.start()
 
-    # ---- stage 1: stepwise per-pair (always lands) ------------------------
-    pk_aff, h_aff, sig_aff = _make_batch(stepwise_batch, dpr, hcv, R)
-    out, best, compile_s = _measure(
-        ops.verify_batch_stepwise, (pk_aff, h_aff, sig_aff),
-        args.iters, np, jax,
-    )
-    assert out.all(), f"verification batch failed: {out[:8]}..."
-    per_pair = stepwise_batch / best
-    with result_lock:
-        # never DOWNGRADE fields the child reader may have already set
-        if result.get("per_pair_path") != "pallas":
-            result["per_pair_verifies_per_sec"] = round(per_pair, 2)
-            result["per_pair_path"] = "stepwise"
-            fq_mul_rate = per_pair * FQ_MULS_PER_VERIFY
-            result["fq_mul_rate"] = round(fq_mul_rate)
-            result["vpu_utilization"] = round(
-                fq_mul_rate * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
-            )
-        result["stepwise_batch"] = stepwise_batch
-        result["stepwise_compile_s"] = round(compile_s, 1)
-        set_headline(per_pair, "per_pair_stepwise")
-        _emit(result)
-    print(f"# stage1 stepwise: {per_pair:.1f}/s compile={compile_s:.1f}s "
-          f"elapsed={_elapsed():.0f}s", file=sys.stderr)
+    # ---- stage 1: stepwise per-pair fallback -----------------------------
+    # Warm: only if the child is silent past its expected landing window
+    # (AOT load + batch build ≈ 1-2 min) — its ~155 s of small-kernel
+    # compiles would otherwise just contend with nothing to gain.
+    # Cold: start immediately, concurrent with the child (the r3 shape:
+    # stage-1 landed at 161 s alongside the child's 424 s).
+    run_stage1 = True
+    if warm and child is not None:
+        silent_budget = min(240.0, args.deadline * 0.55)
+        while _elapsed() < silent_budget:
+            if result["value"] > 0 or child.poll() is not None:
+                break
+            time.sleep(2)
+        run_stage1 = result["value"] == 0
+
+    if run_stage1:
+        pk_aff, h_aff, sig_aff = _make_batch(stepwise_batch, dpr, hcv, R)
+        out, best, compile_s = _measure(
+            ops.verify_batch_stepwise, (pk_aff, h_aff, sig_aff),
+            args.iters, np, jax,
+        )
+        assert out.all(), f"verification batch failed: {out[:8]}..."
+        per_pair = stepwise_batch / best
+        with result_lock:
+            # never DOWNGRADE fields the child reader may have already set
+            if result.get("per_pair_path") != "pallas":
+                result["per_pair_verifies_per_sec"] = round(per_pair, 2)
+                result["per_pair_path"] = "stepwise"
+                fq_mul_rate = per_pair * FQ_MULS_PER_VERIFY
+                result["fq_mul_rate"] = round(fq_mul_rate)
+                result["vpu_utilization"] = round(
+                    fq_mul_rate * U32_OPS_PER_FQ_MUL / VPU_PEAK_U32_OPS, 4
+                )
+            result["stepwise_batch"] = stepwise_batch
+            result["stepwise_compile_s"] = round(compile_s, 1)
+            set_headline(per_pair, "per_pair_stepwise")
+            _emit(result)
+        print(f"# stage1 stepwise: {per_pair:.1f}/s compile={compile_s:.1f}s "
+              f"elapsed={_elapsed():.0f}s", file=sys.stderr)
 
     if args.with_hash:
         # The reference's verify includes hash_g2(msg)
@@ -304,7 +341,8 @@ def main() -> None:
 
         from threshold_crypto_tpu import hashing
 
-        msgs = [b"bench-msg-%d" % i for i in range(stepwise_batch)]
+        nmsg = max(stepwise_batch, 512)
+        msgs = [b"bench-msg-%d" % i for i in range(nmsg)]
         hashing.hash_g2(msgs[0])  # warm native build
         workers = os.cpu_count() or 1
         t0 = time.time()
@@ -312,15 +350,15 @@ def main() -> None:
             list(pool.map(hashing.hash_g2, msgs))
         t_hash = time.time() - t0
         with result_lock:
-            result["hash_g2_per_sec"] = round(stepwise_batch / t_hash, 1)
-            result["verify_with_hash_per_sec"] = round(
-                stepwise_batch / max(t_hash, best), 1
-            )
+            result["hash_g2_per_sec"] = round(nmsg / t_hash, 1)
+            pp = result.get("per_pair_verifies_per_sec", 0.0)
+            if pp:
+                result["verify_with_hash_per_sec"] = round(
+                    min(nmsg / t_hash, pp), 1
+                )
             _emit(result)
 
-    # ---- stage 2: RLC batch verification (the protocol hot pattern).
-    # On TPU the child covers RLC through the Pallas MSM megakernels; the
-    # in-process stepwise form is the off-TPU/debug path. -------------------
+    # ---- stage 2 (off-TPU/debug): stepwise RLC in-process ----------------
     if args.path != "stepwise" and not on_tpu \
             and args.deadline - _elapsed() > 60:
         try:
@@ -336,20 +374,73 @@ def main() -> None:
             print(f"# rlc stage failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
-    # ---- stage 3: wait out the concurrent Pallas child under the budget
-    # (its lines were emitted by the reader thread the moment they landed)
+    # ---- stage 3: wait out the child under the budget (its lines were
+    # emitted by the reader thread the moment they landed) -----------------
     if child is not None:
         remaining = max(args.deadline - _elapsed() - 15, 1)
         try:
             child.wait(timeout=remaining)
         except subprocess.TimeoutExpired:
             child.kill()
-            print(f"# pallas child hit the {remaining:.0f}s budget; "
+            print(f"# child hit the {remaining:.0f}s budget; "
                   "keeping earlier result", file=sys.stderr)
         reader.join(timeout=30)
 
     print(f"# done: value={result['value']} mode={result.get('mode')} "
           f"elapsed={_elapsed():.0f}s", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# Child stages
+# ---------------------------------------------------------------------------
+
+def _child_warm(args, rlc_batch, batch, check_batch, np, jax,
+                dpr, hcv, R, ops) -> None:
+    """Warm path: AOT-load the RLC MSM pair + per-pair check executables.
+    RLC first — it is the 6x-better headline; if anything kills this
+    child early, the line lost is the smaller per-pair one."""
+    try:
+        rate, extras = _bench_rlc_pallas(
+            rlc_batch, check_batch, args.iters, np, jax
+        )
+        _emit({"stage": "rlc_pallas", "rate": rate, **extras})
+    except Exception as e:
+        print(f"# rlc_pallas stage failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    pk_aff, h_aff, sig_aff = _make_batch(batch, dpr, hcv, R)
+    out, best, compile_s = _measure(
+        ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
+        args.iters, np, jax,
+    )
+    assert out.all(), f"pallas verification batch failed: {out[:8]}"
+    _emit({"stage": "pallas", "per_pair": batch / best, "batch": batch,
+           "compile_s": round(compile_s, 1)})
+
+
+def _child_cold(args, np, jax, dpr, hcv, R, ops) -> None:
+    """Cold fallback: the exact r3 configuration measured to land at
+    424 s from a cold cache on this host — ladder-MSM RLC at N=16384
+    with the Pallas check at 512 lanes (the parent exports
+    TC_TPU_ENGINE_BASE=16: the 16-bit kernels compile ~1.5x faster than
+    the 13-bit default and compile latency is all that matters here).
+    The per-pair stage then reuses the check executable for free."""
+    n, check = 16384, 512
+    try:
+        rate, extras = _bench_rlc_pallas(
+            n, check, args.iters, np, jax, msm="ladder"
+        )
+        _emit({"stage": "rlc_ladder", "rate": rate, **extras})
+    except Exception as e:
+        print(f"# rlc_ladder stage failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    pk_aff, h_aff, sig_aff = _make_batch(check, dpr, hcv, R)
+    out, best, compile_s = _measure(
+        ops.verify_batch_pallas_jit, (pk_aff, h_aff, sig_aff),
+        args.iters, np, jax,
+    )
+    assert out.all(), f"pallas verification batch failed: {out[:8]}"
+    _emit({"stage": "pallas", "per_pair": check / best, "batch": check,
+           "compile_s": round(compile_s, 1)})
 
 
 def _make_rlc_batch(n, np):
@@ -396,7 +487,7 @@ def _make_rlc_batch(n, np):
     return pk_aff, sig_aff, h_jac, pk_np, sig_np
 
 
-def _bench_rlc_pallas(n, check_batch, iters, np, jax):
+def _bench_rlc_pallas(n, check_batch, iters, np, jax, msm="shared"):
     """Rate of Pallas-MSM RLC batch verification, exponent derivation
     included in the timed loop (a real verifier re-derives per batch;
     the transcript hashes on-device — `device/keccak.py` — and the
@@ -411,7 +502,7 @@ def _bench_rlc_pallas(n, check_batch, iters, np, jax):
             n, os.urandom(32), pk_aff=pk_aff, sig_aff=sig_aff
         )
         ok = ops.verify_sig_shares_rlc_pallas(
-            pk_aff, h_jac, sig_aff, r, check_batch=check_batch
+            pk_aff, h_jac, sig_aff, r, check_batch=check_batch, msm=msm
         )
         return bool(np.asarray(jax.device_get(ok)))
 

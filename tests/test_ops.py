@@ -133,7 +133,7 @@ def test_jacobian_affine_roundtrip(sig_setup):
 def test_batch_inv_field_fq_fq2():
     """Product-tree field inversion: Fq with a zero lane, Fq2, and a
     non-power-of-two batch (tree padding edge)."""
-    from threshold_crypto_tpu.device import mont, tower as tw
+    from threshold_crypto_tpu.device import mont
 
     vals = [7, 0, 12345, mont.FQ.p - 3, 999]  # n=5 -> padded to 8
     a = jax.numpy.asarray(mont.stack_mont(mont.FQ, vals))
@@ -143,7 +143,6 @@ def test_batch_inv_field_fq_fq2():
 
     f2 = dcv.G2.f
     pairs = [(3, 8), (mont.FQ.p - 1, 5), (0, 11)]
-    b = tw.fq2_from_host(pairs[0], (len(pairs),))
     b = tuple(
         jax.numpy.asarray(mont.stack_mont(mont.FQ, [p[i] for p in pairs]))
         for i in range(2)

@@ -60,6 +60,29 @@ def test_pallas_mul_edge_values():
     assert got_int == [(x * y) % FQ.p for x, y in pairs]
 
 
+@pytest.mark.parametrize("spec", [FR], ids=["Fr"])
+def test_pallas_pow_fixed_bitscan(spec):
+    """`pow_fixed` (the sole TPU-side inversion path for >32-bit
+    exponents — `mont.inv` routes Fermat chains here) vs host bignum,
+    incl. zero lanes and a non-block-aligned batch (ADVICE r4: it had no
+    interpreter-mode test).  Scope kept affordable for the 2-core CI
+    host: Fr only (the λ-denominator inversion path; the Fq mul body
+    alone costs ~2 min of XLA:CPU compile) and a 37-bit exponent rather
+    than the full p−2 (the interpreter walks the same
+    square/conditional-multiply scan per bit — chain length is the only
+    difference — and the full-width Fermat path is cross-checked against
+    the XLA oracle on every TPU bench run)."""
+    n = 70  # not a multiple of the 1024-lane block
+    e = 0b1011000111010110010011101011001010011  # 37 bits, mixed run lengths
+    vals, a = _rand_elems(spec, n, 8)
+    vals[0], vals[-1] = 0, 1  # zero + identity lanes
+    a[0] = mont.to_mont(spec, 0)
+    a[-1] = mont.to_mont(spec, 1)
+    got = np.asarray(pallas_mont.pow_fixed(spec, a, e))
+    got_int = [mont.from_mont_int(spec, row) for row in got]
+    assert got_int == [pow(v, e, spec.p) for v in vals]
+
+
 def test_unrolled_carry_paths_match_scan(monkeypatch):
     """The unrolled (TPU) and scan (CPU) carry chains agree bit-for-bit.
 

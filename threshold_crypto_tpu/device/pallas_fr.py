@@ -40,7 +40,6 @@ the independent `ops.fr._lagrange_matrix` path and host bignum.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -263,8 +262,8 @@ def _mk_lagr_kernel(nblk_j: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _rowprod_call(xi_packed, xj_packed, n: int):
+@jax.jit
+def _rowprod_call(xi_packed, xj_packed):
     R = xi_packed.shape[1]
     nblk = R // TILE_ROWS
     kernel = _mk_lagr_kernel(nblk)
@@ -337,5 +336,5 @@ def lagrange_rowprod(xs_mont):
     if DIRECT:
         prod, cnt = _rowprod_direct(xi, xj)
     else:
-        prod, cnt = _rowprod_call(xi, xj, n)
+        prod, cnt = _rowprod_call(xi, xj)
     return unpack_fr(prod, n), cnt.reshape(-1)[:n]

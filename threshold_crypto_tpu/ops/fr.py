@@ -138,11 +138,19 @@ def lagrange_coeffs_at_zero(xs):
 
 def _use_pallas_lagrange() -> bool:
     env = os.environ.get("TC_TPU_LAGRANGE")
-    if env is not None:
-        return env not in ("0", "false", "")
-    from ..device import pallas_fr
+    if env is None:
+        from ..device import pallas_fr
 
-    return mont.use_pallas() or pallas_fr.DIRECT
+        return mont.use_pallas() or pallas_fr.DIRECT
+    if env in ("0", "false", ""):
+        return False
+    if not mont._on_tpu():
+        # forced on off-TPU (debugging): run the kernel in interpreter
+        # mode rather than failing Mosaic lowering (ADVICE r4)
+        from ..device import pallas_fr
+
+        pallas_fr.INTERPRET = True
+    return True
 
 
 def _lagrange_pallas(xs):
