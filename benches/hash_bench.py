@@ -1,0 +1,150 @@
+"""Distinct-message hashing + verification rates (VERDICT r4 #4).
+
+Measures, on the real chip:
+  1. host-native `hash_g2` (C++ chain, threaded) — the r4 baseline,
+  2. device `hash_g2_device` at batch N (one jitted program; the
+     digest→point sampling chain on the VPU, host fallback counted),
+  3. end-to-end distinct-message batch verification: device hashes
+     feeding `verify_batch_pallas_jit` at the same batch — the
+     reference's full `PublicKeyShare::verify` stack
+     (`/root/reference/src/lib.rs:177-179` → `:691-694`) with BOTH the
+     hash and the pairing checks TPU-bound.
+
+Usage: python benches/hash_bench.py [--batch N] [--iters K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--host-sample", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from threshold_crypto_tpu import hashing, ops
+    from threshold_crypto_tpu.device import curve as dcv
+    from threshold_crypto_tpu.device import hash2g2
+    from threshold_crypto_tpu.ops.threshold import jacobian_to_affine
+    from threshold_crypto_tpu.utils import prebuilt
+
+    prebuilt.unpack(root)
+    ops.set_aot_cache(os.path.join(root, ".jax_aot"))
+
+    n = args.batch
+    msgs = [b"bench-msg-%d" % i for i in range(n)]
+    digests = np.stack([
+        np.frombuffer(hashing.sha3_256(m), dtype="<u4") for m in msgs
+    ])
+
+    # 1. host-native rate (threaded; sample then extrapolate)
+    hashing.hash_g2(msgs[0])  # warm the native build
+    hs = min(args.host_sample, n)
+    t0 = time.time()
+    with ThreadPoolExecutor(os.cpu_count() or 1) as pool:
+        list(pool.map(hashing.hash_g2, msgs[:hs]))
+    host_rate = hs / (time.time() - t0)
+    print(json.dumps({"op": "hash_g2_host_native", "rate": round(host_rate, 1),
+                      "sample": hs}), flush=True)
+
+    # 2. device pipeline (digests -> points), fallback fraction counted
+    t0 = time.time()
+    jac, ok = hash2g2.hash_g2_device(digests)
+    okh = np.asarray(jax.device_get(ok))
+    compile_s = time.time() - t0
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        jac, ok = hash2g2.hash_g2_device(digests)
+        okh = np.asarray(jax.device_get(ok))
+        ts.append(time.time() - t0)
+    dev = min(ts)
+    fallback = int((~okh).sum())
+    # effective rate charges the host oracle for the fallback tail
+    eff = n / (dev + fallback / max(host_rate, 1e-9))
+    print(json.dumps({
+        "op": "hash_g2_device", "batch": n, "rate": round(n / dev, 1),
+        "effective_rate": round(eff, 1), "fallback_lanes": fallback,
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+    # 3. end-to-end distinct-message verification (hash + 2-pair checks)
+    import random as _r
+
+    from threshold_crypto_tpu.host.params import R
+
+    rnd = _r.Random(0xD15C)
+    sks = [rnd.randrange(1, R) for _ in range(16)]
+    sk_limbs = np.zeros((n, 16), np.uint32)
+    for i in range(n):
+        for limb in range(16):
+            sk_limbs[i, limb] = (sks[i % 16] >> (16 * limb)) & 0xFFFF
+    from threshold_crypto_tpu.device import pairing as dpr
+    from threshold_crypto_tpu.host import curve as hcv
+
+    pk_host = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
+    reps = (n + 15) // 16
+    pk_aff = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.tile(
+            np.asarray(a), (reps,) + (1,) * (a.ndim - 1))[:n]),
+        dpr.g1_affine_from_host(pk_host),
+    )
+
+    # signatures once, outside the timed loop (hash is deterministic, so
+    # the verifier-side work — hash + to-affine + 2-pair checks — is what
+    # the loop times, matching the reference verify call stack)
+    from threshold_crypto_tpu.device import pallas_curve as pcv
+
+    h_aff0 = jacobian_to_affine(dcv.G2, jac)
+    sig_jac = pcv.scalar_mul_pallas(
+        dcv.G2, h_aff0, jax.device_put(sk_limbs)
+    )
+    sig_aff = jax.tree_util.tree_map(
+        jax.device_put, jacobian_to_affine(dcv.G2, sig_jac)
+    )
+
+    def run():
+        jac, ok = hash2g2.hash_g2_device(digests)
+        h_aff = jacobian_to_affine(dcv.G2, jac)
+        v = ops.verify_batch_pallas_jit(pk_aff, h_aff, sig_aff)
+        return np.asarray(jax.device_get(v)), np.asarray(jax.device_get(ok))
+
+    t0 = time.time()
+    v, okh = run()
+    compile_s = time.time() - t0
+    assert v[okh].all(), "distinct-message verification failed"
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    best = min(ts)
+    print(json.dumps({
+        "op": "verify_with_hash_device", "batch": n,
+        "rate": round(n / best, 1), "compile_s": round(compile_s, 1),
+        "note": "verifier stack: device hash_g2 + to-affine + fused "
+                "2-pair checks, all TPU-bound",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

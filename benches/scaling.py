@@ -29,10 +29,18 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent cache: the per-(op, n_dev) SPMD programs cost minutes of
+    # XLA:CPU compile each on a small host; share entries across runs
+    # (same dir as tests/conftest.py so the suite pre-warms this bench)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import numpy as np
 
-    from threshold_crypto_tpu import parallel as par
+    from threshold_crypto_tpu import ops, parallel as par
     from threshold_crypto_tpu.device import curve as dcv
+    from threshold_crypto_tpu.device import pairing as dpr
     from threshold_crypto_tpu.host import curve as hcv
     from threshold_crypto_tpu.host.params import R
     from threshold_crypto_tpu.ops import fr as frops
@@ -94,6 +102,31 @@ def main():
             "sec": round(min(ts), 4),
             "per_sec": round(batch / min(ts), 1),
         }))
+
+        # RLC batch verification (the flagship throughput path: per-device
+        # partial MSMs + collective point reduction + one replicated check)
+        pk_hosts = [hcv.G1.mul(hcv.G1.generator, s)
+                    for s in (sks * reps)[:batch]]
+        pk_aff = par.shard_batch(mesh, dpr.g1_affine_from_host(pk_hosts))
+        sig_aff = par.shard_batch(
+            mesh, dpr.g2_affine_from_host(shares_all)
+        )
+        h1_jac = dcv.G2.from_host_affine([h_host])
+        r_plain = ops.rlc_exponents(
+            batch, b"\x09" * 32, pk_aff=pk_aff, sig_aff=sig_aff
+        )
+        ok = par.sharded_verify_rlc(mesh, pk_aff, h1_jac, sig_aff, r_plain)
+        assert bool(ok), "sharded RLC verification failed"
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            par.sharded_verify_rlc(mesh, pk_aff, h1_jac, sig_aff, r_plain)
+            ts.append(time.time() - t0)
+        print(json.dumps({
+            "op": "sharded_rlc_verify", "n_devices": n_dev, "batch": batch,
+            "sec": round(min(ts), 4),
+            "per_sec": round(batch / min(ts), 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -139,6 +139,45 @@ def test_msm_pallas_shared_sharded_g2(mesh):
     _run_sharded_shared(mesh, dcv.G2, hcv.G2, dpr.g2_affine_from_host)
 
 
+def test_sharded_verify_rlc_shared_msm(mesh):
+    """`sharded_verify_rlc(msm="shared")`: the flagship shared-window MSM
+    as the per-device partial kernel (VERDICT r4 #2b) — accepts a valid
+    share batch and rejects a tampered one."""
+    from threshold_crypto_tpu import ops
+
+    t = 3
+    coeffs = [rnd.randrange(R) for _ in range(t + 1)]
+    f = lambda x: sum(c * pow(x, k, R) for k, c in enumerate(coeffs)) % R
+    h_host = hcv.G2.mul(hcv.G2.generator, rnd.randrange(1, R))
+    sks = [f(x) for x in range(1, N_DEV + 1)]
+    shares = [hcv.G2.mul(h_host, s) for s in sks]
+    pk_hosts = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
+
+    pk_aff = par.shard_batch(mesh, dpr.g1_affine_from_host(pk_hosts))
+    sig_aff = par.shard_batch(mesh, dpr.g2_affine_from_host(shares))
+    h_jac = dcv.G2.from_host_affine([h_host])
+    r_plain = ops.rlc_exponents(
+        N_DEV, b"\x02" * 32, pk_aff=pk_aff, sig_aff=sig_aff
+    )
+    ptw.DIRECT = True
+    try:
+        ok = par.sharded_verify_rlc(mesh, pk_aff, h_jac, sig_aff, r_plain,
+                                    msm="shared")
+        assert bool(ok)
+
+        bad = list(shares)
+        bad[3] = shares[2]
+        bad_aff = par.shard_batch(mesh, dpr.g2_affine_from_host(bad))
+        r_bad = ops.rlc_exponents(
+            N_DEV, b"\x02" * 32, pk_aff=pk_aff, sig_aff=bad_aff
+        )
+        ok2 = par.sharded_verify_rlc(mesh, pk_aff, h_jac, bad_aff, r_bad,
+                                     msm="shared")
+        assert not bool(ok2)
+    finally:
+        ptw.DIRECT = False
+
+
 def test_packed_engine_mul_sharded(mesh):
     """The packed limb-major multiply engine (the cell every megakernel
     stacks) sharded over its row axis: per-row independence means a

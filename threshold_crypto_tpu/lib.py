@@ -15,6 +15,8 @@ the hot loops (sign/verify/combine over thousands of items) live in
 
 from __future__ import annotations
 
+import logging
+
 from .backend import FromBytesError, get_backend
 from .error import DuplicateEntry, NotEnoughShares
 from .hashing import hash_g1_g2, hash_g2, xor_with_hash
@@ -36,7 +38,12 @@ def _parity(uncompressed: bytes) -> bool:
     x = 0
     for byte in uncompressed:
         x ^= byte
-    return bin(x).count("1") % 2 != 0
+    parity = bin(x).count("1") % 2 != 0
+    # the reference's `log::debug!("parity of {:?}: {}", ...)`
+    # (`src/lib.rs:241`); stdlib logging is the no-op-by-default analog
+    logging.getLogger(__name__).debug("parity of %s: %s", uncompressed,
+                                      parity)
+    return parity
 
 
 class PublicKey:

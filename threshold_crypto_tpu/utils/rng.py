@@ -86,10 +86,6 @@ class RngCore:
     def gen_u8(self) -> int:
         return self.next_u32() & 0xFF
 
-    def gen_bool_word(self) -> bool:
-        """One random bool consuming a full u32 (pairing 0.16 point sampling)."""
-        return self.next_u32() % 2 != 0
-
 
 class ChaChaRng(RngCore):
     """Bit-exact ``rand_chacha 0.2`` ``ChaCha20Rng`` word stream."""
