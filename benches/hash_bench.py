@@ -87,6 +87,28 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
     }), flush=True)
 
+    # 2b. host-parity spot-check of the device pipeline (the CPU parity
+    # test exercises the XLA fallback branch; THIS is the only place the
+    # on-TPU Pallas sampling chain is checked against the host oracle)
+    sample = [i for i in range(0, n, max(1, n // 16)) if okh[i]][:16]
+    h_aff_chk = jax.device_get(jacobian_to_affine(dcv.G2, jac))
+    from threshold_crypto_tpu.device import mont
+    from threshold_crypto_tpu.host import curve as hcv_mod
+
+    mism = 0
+    for i in sample:
+        want = hashing.hash_g2(msgs[i]).to_compressed()
+        x = (mont.from_mont_int(mont.FQ, h_aff_chk[0][0][i]),
+             mont.from_mont_int(mont.FQ, h_aff_chk[0][1][i]))
+        y = (mont.from_mont_int(mont.FQ, h_aff_chk[1][0][i]),
+             mont.from_mont_int(mont.FQ, h_aff_chk[1][1][i]))
+        got = hcv_mod.g2_to_compressed((x, y))
+        if got != want:
+            mism += 1
+    print(json.dumps({"op": "hash_g2_device_parity", "sampled": len(sample),
+                      "mismatches": mism}), flush=True)
+    assert mism == 0, "device hash_g2 disagrees with the host oracle"
+
     # 3. end-to-end distinct-message verification (hash + 2-pair checks)
     import random as _r
 

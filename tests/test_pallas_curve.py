@@ -345,3 +345,49 @@ def test_msm_pallas_nofold_matches_scalar_mul():
     # the infinity lane's digits are masked: its product must be infinity
     assert bool(np.asarray(dcv.G1.is_infinity(got))[5])
     assert ok[np.arange(n) != 5].all()
+
+
+def _check_fixed(curve, curve_host, n, k):
+    from threshold_crypto_tpu.device import pairing as dpr
+
+    pts = _host_points(curve_host, n)
+    pts[1] = None  # infinity lane
+    aff = (dpr.g2_affine_from_host(pts) if curve is dcv.G2
+           else dpr.g1_affine_from_host(pts))
+
+    ptw.DIRECT = True
+    try:
+        got = pcv.scalar_mul_fixed_pallas(curve, aff, k)
+    finally:
+        ptw.DIRECT = False
+
+    want = curve.from_host_affine([curve_host.mul(p, k) for p in pts])
+    ok = np.asarray(curve.eq(got, want))
+    inf = np.asarray(curve.is_infinity(got))
+    assert bool(inf[1])
+    assert ok[np.arange(n) != 1].all(), np.nonzero(~ok)[0][:8]
+
+
+def test_scalar_mul_fixed_pallas_g1():
+    """Static-scalar windowed ladder (DIRECT) == host mul, G1, with an
+    infinity lane; k wider than a whole number of 4-bit windows."""
+    _check_fixed(dcv.G1, hcv.G1, 8, 0x1D2E9F40312C7B)
+
+
+def test_scalar_mul_fixed_pallas_g2():
+    """Static-scalar windowed ladder (DIRECT) == host mul, G2."""
+    _check_fixed(dcv.G2, hcv.G2, 4, 0xB493A0517E2D86F01)
+
+
+def test_scalar_mul_fixed_pallas_zero():
+    """k = 0 yields infinity on every lane."""
+    from threshold_crypto_tpu.device import pairing as dpr
+
+    pts = _host_points(hcv.G1, 4)
+    aff = dpr.g1_affine_from_host(pts)
+    ptw.DIRECT = True
+    try:
+        got = pcv.scalar_mul_fixed_pallas(dcv.G1, aff, 0)
+    finally:
+        ptw.DIRECT = False
+    assert np.asarray(dcv.G1.is_infinity(got)).all()

@@ -35,10 +35,12 @@ Pipeline (everything after the 32-byte digests stays on device):
   4. Fq2 square root of the first accepted candidate (Adj–Rodríguez
      alg. 9, mirroring `host/tower.fq2_sqrt`), root normalized by the
      `greatest` draw exactly like `host/curve.get_point_from_x`,
-  5. cofactor multiplication by the literal H2 (507 bits — split
-     c = c0 + 2^254·c1 across the 255-bit ladders; bit-parity forbids
-     the fast-cofactor endomorphism trick, which lands in a different
-     representative),
+  5. cofactor multiplication by the literal H2 (507 bits; bit-parity
+     forbids the fast-cofactor endomorphism trick, which lands in a
+     different representative) — one windowed ladder over H2's static
+     base-16 digits on the Pallas path
+     (`pallas_curve.scalar_mul_fixed_pallas`), the 255-bit-limb split
+     c = c0 + 2^254·c1 across three chained ladders on the XLA path,
   6. lanes whose A attempts all failed (≈2⁻ᴬ per lane) or whose word
      budget ran out report `ok=False`; `threshold_crypto_tpu.hashing.
      hash_g2_batch` recomputes those few on the host oracle.
@@ -353,20 +355,30 @@ def hash_g2_device(digests, attempts: int = DEFAULT_ATTEMPTS,
     ny = tw.fq2_neg(y)
     y_final = tw.fq2_select(_fq2_is_greatest(y) == g, y, ny)
 
-    # cofactor: literal H2 = c0 + 2^254·c1 across 255-bit ladders
+    # cofactor: literal H2 (507 bits), exactly pairing 0.16's
+    # `scale_by_cofactor`.  On the Pallas path H2 is a static trace-time
+    # int, so ONE windowed ladder over its 127 base-16 digits with a
+    # single shared multiple table does it directly
+    # (`pallas_curve.scalar_mul_fixed_pallas`); the XLA fallback keeps
+    # the 255-bit-limb split across three chained ladders.
     inf = jnp.zeros((n,), bool)
     aff = (xs, y_final, inf)
-    c0 = H2 & ((1 << 254) - 1)
-    c1 = H2 >> 254
-    k0 = jnp.broadcast_to(_const_scalar16(c0)[None], (n, 16))
-    k1 = jnp.broadcast_to(_const_scalar16(c1)[None], (n, 16))
-    kq = jnp.broadcast_to(_const_scalar16(1 << 254)[None], (n, 16))
+    if mont.use_pallas():
+        from . import pallas_curve as pcv
 
-    p0 = _g2_scalar_mul(aff, k0)
-    q = _g2_scalar_mul(aff, kq)  # 2^254 · P
-    q_aff = _to_affine_g2(q)
-    p1 = _g2_scalar_mul(q_aff, k1)
-    out = dcv.G2.add(p0, p1)
+        out = pcv.scalar_mul_fixed_pallas(dcv.G2, aff, H2)
+    else:
+        c0 = H2 & ((1 << 254) - 1)
+        c1 = H2 >> 254
+        k0 = jnp.broadcast_to(_const_scalar16(c0)[None], (n, 16))
+        k1 = jnp.broadcast_to(_const_scalar16(c1)[None], (n, 16))
+        kq = jnp.broadcast_to(_const_scalar16(1 << 254)[None], (n, 16))
+
+        p0 = _g2_scalar_mul(aff, k0)
+        q = _g2_scalar_mul(aff, kq)  # 2^254 · P
+        q_aff = _to_affine_g2(q)
+        p1 = _g2_scalar_mul(q_aff, k1)
+        out = dcv.G2.add(p0, p1)
 
     ok = found & ~dcv.G2.is_infinity(out)  # identity ⇒ host retries
     return out, ok

@@ -793,6 +793,92 @@ def scalar_mul_pallas(curve, points_aff, scalars, nbits: int = 255,
                       window=window, fold=False)
 
 
+def scalar_mul_fixed_pallas(curve, points_aff, k: int, window: int = 4):
+    """Per-lane k·P_i for ONE static public scalar k of ARBITRARY width.
+
+    `scalar_mul_pallas` is capped at 256-bit per-lane scalars (the uint32
+    [N, 16] limb layout); fixed public scalars wider than that — the
+    507-bit G2 cofactor of `hash_g2`'s `scale_by_cofactor` step
+    (`/root/reference/src/lib.rs:691-694` via pairing 0.16's
+    `G2::random`) — previously had to be split across THREE chained
+    255-bit ladders (3 multiple-table builds + 192 window steps).  Since
+    k is a Python int known at trace time, ONE windowed ladder over its
+    ⌈bits/4⌉ static base-16 digits with a single shared 15-entry table
+    computes k·P directly: 1 table build + 127 steps for H2 (~1.5× less
+    multiply work), same affine result.
+
+    Returns the per-lane BATCHED Jacobian pytree [N] (like
+    `scalar_mul_pallas`); infinity lanes stay at infinity.
+    """
+    from . import curve as dcv
+
+    assert window == 4 and k >= 0
+    x, y, inf = points_aff
+    g2 = curve is dcv.G2
+    n = inf.shape[0]
+    R = ptw.pack_rows(n)
+    acc_planes = 6 * L if g2 else 3 * L
+
+    live = ~inf
+    if R * LANES != n:
+        live_p = jnp.pad(live, (0, R * LANES - n))
+    else:
+        live_p = live
+    live_plane = live_p.reshape(1, 1, R, LANES).astype(jnp.uint32)
+
+    # static MSB-first base-16 digits (leading zero digits dropped)
+    nd = max(1, -(-max(k.bit_length(), 1) // window))
+    digs = [(k >> (window * i)) & 0xF for i in range(nd - 1, -1, -1)]
+    digits = (
+        jnp.asarray(digs, jnp.uint32).reshape(nd, 1, 1, 1) * live_plane
+    )  # [nd, 1, R, 128]
+
+    # Jacobian multiple table 1P..15P via one scan-add body (shared with
+    # `msm_pallas` window=4; P varies per lane, so the table is per-lane)
+    p_jac = (x, y, dcv_select_z(curve, inf))
+
+    def tbody(acc, _):
+        nxt = curve.add(acc, p_jac)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(tbody, p_jac, None, length=14)
+    table = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), p_jac, rest
+    )
+    tab_comps = []
+    for j in range(15):
+        entry = jax.tree_util.tree_map(lambda a: a[j], table)
+        tab_comps += [
+            c.reshape(n, ptw.XL) for c in _jac_comps(curve, entry)
+        ]
+    tab_packed = ptw.pack(tab_comps, n)
+
+    acc0 = _packed_inf_jac(acc_planes, R)
+    step = (
+        (_g2_step4_impl if ptw.DIRECT else p_g2_msm_step4)
+        if g2
+        else (_g1_step4_impl if ptw.DIRECT else p_g1_msm_step4)
+    )
+    if ptw.DIRECT:
+        acc = acc0
+        for i in range(digits.shape[0]):
+            acc = step(acc, tab_packed, digits[i])
+    else:
+        def body(acc, digit):
+            return step(acc, tab_packed, digit), None
+
+        acc, _ = jax.lax.scan(body, acc0, digits)
+
+    comps_out = ptw.unpack(acc, acc_planes // L, n)
+    if g2:
+        return (
+            (comps_out[0], comps_out[1]),
+            (comps_out[2], comps_out[3]),
+            (comps_out[4], comps_out[5]),
+        )
+    return (comps_out[0], comps_out[1], comps_out[2])
+
+
 def _packed_one_planes(R):
     one = jnp.asarray(np.array(ptw._ONE_LIMBS, np.uint32))[:, None, None]
     return jnp.broadcast_to(one, (L, R, LANES))
