@@ -66,3 +66,36 @@ def test_hash_g2_batch_parity():
     got = hashing.hash_g2_batch(msgs)
     for g, m in zip(got, msgs):
         assert g.to_compressed() == hashing.hash_g2(m).to_compressed(), m
+
+
+@pytest.mark.slow  # XLA:CPU compile of the hash + stepwise verify chains
+def test_verify_with_hash_batch():
+    """Public distinct-message batched verify (`ops.verify_with_hash_
+    batch`, the reference's full per-share verify stack): good sigs
+    pass, swapped sigs fail; attempts=1 forces host-oracle splice lanes
+    (~half the batch), covering the fallback path."""
+    import random
+
+    from threshold_crypto_tpu import ops
+    from threshold_crypto_tpu.device import pairing as dpr
+    from threshold_crypto_tpu.host import curve as hcv
+    from threshold_crypto_tpu.host.params import R
+
+    rnd = random.Random(0xBEEF)
+    msgs = [b"vwh-%d" % i for i in range(4)]
+    sks = [rnd.randrange(1, R) for _ in msgs]
+    pk = [hcv.G1.mul(hcv.G1.generator, s) for s in sks]
+    hs = [hashing.hash_g2(m).v for m in msgs]
+    sig = [hcv.G2.mul(h, s) for h, s in zip(hs, sks)]
+    pk_aff = dpr.g1_affine_from_host(pk)
+
+    v = ops.verify_with_hash_batch(
+        pk_aff, msgs, dpr.g2_affine_from_host(sig), attempts=1
+    )
+    assert v.all()
+
+    sig2 = [sig[1], sig[0]] + sig[2:]
+    v2 = ops.verify_with_hash_batch(
+        pk_aff, msgs, dpr.g2_affine_from_host(sig2), attempts=1
+    )
+    assert not v2[0] and not v2[1] and v2[2:].all()

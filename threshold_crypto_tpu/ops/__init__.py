@@ -46,6 +46,7 @@ from .threshold import (  # noqa: F401
     verify_batch_pallas,
     verify_batch_stepwise,
     verify_batch_pallas_jit,
+    verify_with_hash_batch,
     verify_sig_shares_rlc,
     verify_sig_shares_rlc_pallas,
     verify_sig_shares_rlc_stepwise,

@@ -278,6 +278,57 @@ def verify_batch_pallas_jit(pk_aff, h_aff, sig_aff):
     return _jit_vbp[n](pk_aff, h_aff, sig_aff)
 
 
+def verify_with_hash_batch(pk_aff, msgs, sig_aff, attempts: int = 8):
+    """Batched verification of N signatures over N DISTINCT messages,
+    INCLUDING the message hash — the reference's full per-share `verify`
+    call stack (`/root/reference/src/lib.rs:177-179` → `:691-694`)
+    TPU-bound end to end: device `hash_g2` sampling chain
+    (`device/hash2g2.py`) feeding the fused 2-pair product checks.
+
+    pk_aff: G1 affine pytree [N]; msgs: list of N bytes; sig_aff: G2
+    affine pytree [N].  Returns bool[N] (host numpy).  The ≈2⁻ᴬ tail of
+    lanes whose device hash attempt/word budget ran out is recomputed on
+    the host oracle and spliced in — results are exact for every lane,
+    not just the device-resolved ones.  For N signatures on ONE message
+    use `verify_sig_shares_rlc` instead (amortizes the pairings too).
+
+    Off-TPU the pairing checks route through the stepwise XLA pipeline
+    (the Pallas megakernels need real Mosaic): same results, correctness
+    path only.
+    """
+    import numpy as np
+
+    from .. import hashing
+    from ..device import hash2g2
+
+    n = len(msgs)
+    assert pk_aff[2].shape[0] == n == sig_aff[2].shape[0]
+    digests = np.stack([
+        np.frombuffer(hashing.sha3_256(bytes(m)), dtype="<u4")
+        for m in msgs
+    ])
+    jac, ok = hash2g2.hash_g2_device(digests, attempts=attempts)
+    h_aff = jacobian_to_affine(dcv.G2, jac)
+    okh = np.asarray(jax.device_get(ok))
+    if not okh.all():
+        # splice host-oracle points into the failed lanes
+        bad = np.nonzero(~okh)[0]
+        fb = dpr.g2_affine_from_host(
+            [hashing.hash_g2(bytes(msgs[i])).v for i in bad]
+        )
+        idx = jnp.asarray(bad)
+        h_aff = (
+            (h_aff[0][0].at[idx].set(fb[0][0]),
+             h_aff[0][1].at[idx].set(fb[0][1])),
+            (h_aff[1][0].at[idx].set(fb[1][0]),
+             h_aff[1][1].at[idx].set(fb[1][1])),
+            h_aff[2].at[idx].set(fb[2]),
+        )
+    check = (verify_batch_pallas_jit if mont.use_pallas()
+             else verify_batch_stepwise)
+    return np.asarray(jax.device_get(check(pk_aff, h_aff, sig_aff)))
+
+
 def verify_batch_stepwise(pk_aff, h_aff, sig_aff):
     """`verify_batch` driven over small jitted step kernels (host-driven
     Miller loop + phase-wise final exponentiation): same results, a fraction
